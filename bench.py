@@ -67,16 +67,16 @@ def main(argv=None) -> int:
     import numpy as np
 
     r = ProgressiveRenderer(sd)
-    # warmup: compile + 1 frame (np.asarray forces full execution — on the
-    # axon platform block_until_ready returns before the remote op finishes)
+    # warmup: compile + run the full batched call (np.asarray forces full
+    # execution — on axon block_until_ready returns before the remote op
+    # finishes); frames are scanned INSIDE one compiled call so dispatch
+    # latency is amortized
     r.set_time(1000)
-    r.draw()
+    r.draw_frames(args.frames)
     np.asarray(r.state.image)
 
     t0 = time_mod.perf_counter()
-    for i in range(args.frames):
-        r.set_time(1000 + 10 * (i + 1))
-        r.draw()
+    r.draw_frames(args.frames)
     np.asarray(r.state.image)
     dt = time_mod.perf_counter() - t0
 

@@ -61,6 +61,12 @@ class RenderConfig:
     normalize_defocus_dir: bool = False
     normalize_reflect_in: bool = True
     backend: str = "jax"
+    # Number of live spheres in the padded MAX_SPHERES buffer (0 = scan all).
+    # The oracle always scans the full buffer like the shader's arrayLength
+    # loop; the Pallas kernel scans only the live prefix — identical results
+    # except the measure-zero case of a ray exactly through a zero-radius
+    # padding sphere's center.
+    n_active_spheres: int = 0
 
     @staticmethod
     def for_spheres(width: int = 512, height: int = 512, **kw) -> "RenderConfig":

@@ -1,0 +1,93 @@
+"""Kernel dispatch: pack scene/camera pytrees into kernel operand layouts,
+pad the image to tile multiples, launch, and crop — the host↔kernel ABI
+layer (the analog of the reference's bind-group packing in
+src/renderer.rs:139-240).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rt.config import RenderConfig
+from rt.core.sphere import SphereArray
+from rt.core.triangle import TriangleScene
+from rt.kernels.tracer_common import (CAM_BLUR, CAM_DIR, CAM_EYE, CAM_FL,
+                                      CAM_FOV, CAM_RIGHT, CAM_UP, CAM_WIDTH)
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def pack_camera(camera) -> jnp.ndarray:
+    row = jnp.zeros((1, CAM_WIDTH), jnp.float32)
+    row = row.at[0, CAM_EYE:CAM_EYE + 4].set(camera.eye)
+    row = row.at[0, CAM_DIR:CAM_DIR + 4].set(camera.direction)
+    row = row.at[0, CAM_UP:CAM_UP + 4].set(camera.up)
+    row = row.at[0, CAM_RIGHT:CAM_RIGHT + 4].set(camera.right)
+    row = row.at[0, CAM_FL].set(camera.focal_length)
+    row = row.at[0, CAM_BLUR].set(camera.focal_blur)
+    row = row.at[0, CAM_FOV].set(camera.fov)
+    return row
+
+
+def pack_spheres_table(scene: SphereArray):
+    n = scene.count
+    tab = jnp.concatenate([
+        scene.center.astype(jnp.float32),
+        scene.radius.astype(jnp.float32)[:, None],
+        scene.albedo.astype(jnp.float32),
+        scene.mat_param.astype(jnp.float32)[:, None],
+    ], axis=1)                                   # (N, 8)
+    kinds = scene.mat_kind.astype(jnp.int32)[:, None]
+    return tab, kinds, n
+
+
+def render_color(scene, camera, config: RenderConfig, time,
+                 interpret: bool = False):
+    """(H, W, 3) color for one frame via the fused Pallas kernels.
+
+    Drop-in replacement for rt.render.renderer.render_color — same RNG
+    stream, same math, same output (validated bit-level in tests).
+    """
+    h, w = config.height, config.width
+    th = min(16, _round_up(h, 8))
+    tw = min(256, _round_up(w, 128))
+    hp, wp = _round_up(h, th), _round_up(w, tw)
+
+    cam_row = pack_camera(camera)
+    time_arr = jnp.asarray(time, jnp.uint32).reshape(1, 1)
+
+    if isinstance(scene, SphereArray):
+        from rt.kernels.sphere_kernel import render_color_spheres
+        tab, kinds, n = pack_spheres_table(scene)
+        if 0 < config.n_active_spheres < n:
+            n = config.n_active_spheres
+        color = render_color_spheres(
+            tab, kinds, cam_row, time_arr, n_spheres=n, height=h, width=w,
+            height_pad=hp, width_pad=wp,
+            bounces=config.bounces,
+            normalize_defocus_dir=config.normalize_defocus_dir,
+            normalize_reflect_in=config.normalize_reflect_in,
+            th=th, tw=tw, interpret=interpret)
+    elif isinstance(scene, TriangleScene):
+        from rt.kernels.tris_kernel import render_color_tris
+        color = render_color_tris(
+            scene, cam_row, time_arr, height=h, width=w,
+            height_pad=hp, width_pad=wp,
+            bounces=config.bounces,
+            normalize_defocus_dir=config.normalize_defocus_dir,
+            normalize_reflect_in=config.normalize_reflect_in,
+            th=th, tw=tw, interpret=interpret)
+    else:
+        raise TypeError(f"unknown scene type {type(scene)}")
+
+    color = jnp.transpose(color, (1, 2, 0))      # (Hp, Wp, 3)
+    if (hp, wp) != (h, w):
+        color = color[:h, :w]
+    # samples_per_frame == 1 in the reference (shader_sphere.wgsl:11); the
+    # kernels trace one sample — average here if a config raises it.
+    if config.samples_per_frame != 1:
+        raise NotImplementedError("pallas backend: samples_per_frame must be "
+                                  "1 (the reference's SAMPLE_PER_FRAME)")
+    return color

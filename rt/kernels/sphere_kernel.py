@@ -1,0 +1,158 @@
+"""Fused sphere path-trace kernel — the Pallas replacement for
+shader_sphere.wgsl's fs_main (:252-273) + trace (:230-243) +
+intersect_all_sphere (:218-229).
+
+Design (TPU-first, see pallas guide):
+- grid over (TH, TW) pixel tiles; every per-pixel quantity is a VPU plane;
+- the sphere table is an SMEM array — per-sphere constants are SCALAR reads
+  broadcast against the tile, so the closest-hit scan is a zero-gather
+  select-chain: winning-sphere attributes are carried as planes instead of
+  gathered after the loop (the TPU answer to SIMT's divergent loads);
+- bounce loop and sphere loop are ``fori_loop``s inside the kernel: one
+  kernel launch traces the whole frame tile; HBM traffic is exactly one
+  (3, TH, TW) color write per tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rt.config import FLT_MAX
+from rt.kernels import plane_math as pm
+from rt.kernels import tracer_common as tc
+
+# SMEM sphere-table layout (one row per sphere):
+#   0:3 center, 3 radius, 4:7 albedo, 7 mat_param
+SPH_COLS = 8
+
+
+def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
+            n_spheres: int, height: int, width: int, th: int, tw: int,
+            bounces: int, normalize_defocus_dir: bool,
+            normalize_reflect_in: bool):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+    x_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+    x_f = x_i.astype(jnp.float32)
+    y_f = y_i.astype(jnp.float32)
+    x_u = x_i.astype(jnp.uint32)
+    y_u = y_i.astype(jnp.uint32)
+
+    cam = lambda c: cam_ref[0, c]
+    time = time_ref[0, 0]
+
+    state, o, d4 = tc.generate_rays(
+        cam, x_f, y_f, x_u, y_u, height=height, width=width, time=time,
+        normalize_defocus_dir=normalize_defocus_dir)
+    d = (d4[0], d4[1], d4[2])
+    primary_dy = d4[1]
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    one = zero + 1.0
+    atten = (one, one, one)
+    active = jnp.ones((th, tw), jnp.int32)  # i32 mask: bool carries fail
+                                            # to legalize in Mosaic scf.for
+
+    def bounce(_, carry):
+        state, o, d, atten, active = carry
+
+        # ---- closest-hit scan over the sphere table ----------------------
+        def scan_sphere(si, best):
+            bt, bc, br, bal, bpar, bkind = best
+            c = (zero + sph_ref[si, 0], zero + sph_ref[si, 1],
+                 zero + sph_ref[si, 2])
+            r = sph_ref[si, 3]
+            oc = pm.sub3(o, c)
+            a = pm.dot3(d, d)
+            b = 2.0 * pm.dot3(oc, d)
+            cc = pm.dot3(oc, oc) - r * r
+            disc = b * b - 4.0 * a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = (-b - sq) / (2.0 * a)
+            t = jnp.where(disc < 0.0, jnp.float32(-1.0), t)
+            better = (t > 0.0) & (t < bt)
+            sel = lambda new, old: jnp.where(better, new, old)
+            return (sel(t, bt),
+                    pm.where3(better, c, bc),
+                    sel(zero + r, br),
+                    pm.where3(better, (zero + sph_ref[si, 4],
+                                       zero + sph_ref[si, 5],
+                                       zero + sph_ref[si, 6]), bal),
+                    sel(zero + sph_ref[si, 7], bpar),
+                    jnp.where(better, jnp.zeros((th, tw), jnp.int32)
+                              + kind_ref[si, 0],
+                              bkind))
+
+        best0 = (zero + FLT_MAX, (zero, zero, zero), one,
+                 (zero, zero, zero), zero, jnp.zeros((th, tw), jnp.int32))
+        bt, bc, br, bal, bpar, bkind = jax.lax.fori_loop(
+            0, n_spheres, scan_sphere, best0)
+
+        hit = (active > 0) & (bt != FLT_MAX)
+
+        # ---- hit record (shader_sphere.wgsl:148-154) ---------------------
+        point = pm.add3(o, pm.scale3(d, bt))
+        normal = ((point[0] - bc[0]) / br, (point[1] - bc[1]) / br,
+                  (point[2] - bc[2]) / br)
+        front_face = pm.dot3(d, normal) < 0.0
+        normal = pm.where3(front_face, normal, pm.neg3(normal))
+
+        ns, nd = tc.scatter(state, d, point, normal, front_face, bal, bpar,
+                            bkind, normalize_reflect_in=normalize_reflect_in)
+
+        state = jnp.where(hit, ns, state)
+        o = pm.where3(hit, point, o)
+        d = pm.where3(hit, nd, d)
+        atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
+        return state, o, d, atten, hit.astype(jnp.int32)
+
+    state, o, d, atten, active = jax.lax.fori_loop(
+        0, bounces, bounce, (state, o, d, atten, active))
+
+    col = tc.sky_times_atten(primary_dy, atten)
+    out_ref[0] = col[0]
+    out_ref[1] = col[1]
+    out_ref[2] = col[2]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_spheres", "height", "width", "height_pad", "width_pad", "bounces",
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "interpret"))
+def render_color_spheres(sph_table, kind_table, cam_row, time, *,
+                         n_spheres: int, height: int, width: int,
+                         height_pad: int, width_pad: int,
+                         bounces: int, normalize_defocus_dir: bool,
+                         normalize_reflect_in: bool, th: int = 16,
+                         tw: int = 256, interpret: bool = False):
+    """Returns planar (3, Hp, Wp) color for one frame (crop to H, W).
+
+    height/width: REAL resolution (seed + uv math); height_pad/width_pad:
+    tile-aligned grid extent.  sph_table: (N, 8) f32, kind_table: (N, 1)
+    i32, cam_row: (1, 20) f32, time: (1, 1) u32.
+    """
+    grid = (height_pad // th, width_pad // tw)
+    kernel = functools.partial(
+        _kernel, n_spheres=n_spheres, height=height, width=width, th=th,
+        tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
+        normalize_reflect_in=normalize_reflect_in)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),
+                                       jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # kinds
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # time
+        ],
+        out_specs=pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sph_table, kind_table, cam_row, time)

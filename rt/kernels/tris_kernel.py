@@ -1,0 +1,239 @@
+"""Fused triangle-mesh path-trace kernel — the Pallas replacement for
+shader_tris.wgsl (fs_main :326-347, trace :303-316, Möller–Trumbore
+:161-202) with a TPU-shaped acceleration structure.
+
+Instead of the reference's per-thread stackless BVH walk (divergent control
+flow + random node loads — exactly what a VPU cannot do), the kernel uses
+the SAME spatially-sorted triangle order the BVH build produces
+(rt/scene/bvh.py — BFS median splits) but consumes it as a *wide* hierarchy:
+
+- triangles are scanned in CHUNKS of 128 consecutive leaves; each chunk is a
+  complete subtree of the implicit heap, so its AABB is one precomputed BVH
+  node — chunk AABBs live in SMEM;
+- per chunk the whole pixel tile does one slab test (planes, ~25 VPU ops);
+  if NO ray in the tile enters the chunk the entire 128-triangle scan is
+  skipped via a scalar branch (``lax.cond``) — tile-coherent culling, the
+  VPU analog of packet traversal;
+- inside a live chunk the triangle loop broadcasts per-triangle scalars from
+  VMEM (per-triangle material already resolved at pack time), updating
+  closest-hit planes with selects — zero gathers anywhere.
+
+Closest-hit semantics match rt/core/triangle.py: strict ``t < best`` with
+ascending triangle index order, EPSILON = 1e-4, flat normals, the inverted
+``front_face = dot(normal, dir) > 0`` convention with no normal flip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rt.config import EPSILON_TRIS, FLT_MAX
+from rt.kernels import plane_math as pm
+from rt.kernels import tracer_common as tc
+
+CHUNK = 128
+
+# VMEM triangle-table columns:
+#   0:3 a, 3:6 b, 6:9 c, 9:12 normal, 12:15 albedo, 15 param, 16 kind
+TRI_COLS = 17
+
+
+def _fmin(a, b):
+    """WGSL min: returns the non-NaN operand (jnp.fmin equivalent —
+    emulated because Mosaic lacks fmin)."""
+    return jnp.where(jnp.isnan(a) | (b < a), b, a)
+
+
+def _fmax(a, b):
+    return jnp.where(jnp.isnan(a) | (b > a), b, a)
+
+
+def _kernel(tri_ref, chunk_ref, cam_ref, time_ref, out_ref, *,
+            m: int, n_chunks: int, height: int, width: int, th: int, tw: int,
+            bounces: int, normalize_defocus_dir: bool,
+            normalize_reflect_in: bool):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+    x_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+    x_f = x_i.astype(jnp.float32)
+    y_f = y_i.astype(jnp.float32)
+    x_u = x_i.astype(jnp.uint32)
+    y_u = y_i.astype(jnp.uint32)
+
+    cam = lambda c: cam_ref[0, c]
+    time = time_ref[0, 0]
+
+    state, o, d4 = tc.generate_rays(
+        cam, x_f, y_f, x_u, y_u, height=height, width=width, time=time,
+        normalize_defocus_dir=normalize_defocus_dir)
+    d = (d4[0], d4[1], d4[2])
+    primary_dy = d4[1]
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    one = zero + 1.0
+    atten = (one, one, one)
+    active = jnp.ones((th, tw), jnp.int32)
+
+    def bounce(_, carry):
+        state, o, d, atten, active = carry
+        inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+
+        def scan_tri(k, best):
+            bt, bnrm, bal, bpar, bkind = best
+            a3 = (zero + tri_ref[k, 0], zero + tri_ref[k, 1],
+                  zero + tri_ref[k, 2])
+            b3 = (tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5])
+            c3 = (tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8])
+            # Möller–Trumbore (shader_tris.wgsl:161-202); edges are
+            # scalar-scalar differences broadcast against ray planes.
+            e1 = (b3[0] - a3[0], b3[1] - a3[1], b3[2] - a3[2])
+            e2 = (c3[0] - a3[0], c3[1] - a3[1], c3[2] - a3[2])
+            h = pm.cross3(d, e2)
+            det = pm.dot3(e1, h)
+            inv_det = 1.0 / det
+            s = pm.sub3(o, a3)
+            u = inv_det * pm.dot3(s, h)
+            q = pm.cross3(s, e1)
+            v = inv_det * pm.dot3(d, q)
+            t = inv_det * pm.dot3(e2, q)
+            valid = (jnp.abs(det) >= EPSILON_TRIS)
+            valid &= (u >= 0.0) & (u <= 1.0)
+            valid &= (v >= 0.0) & (u + v <= 1.0)
+            valid &= (t >= EPSILON_TRIS) & (t < bt)
+            sel = lambda new, old: jnp.where(valid, new, old)
+            return (sel(t, bt),
+                    pm.where3(valid, (zero + tri_ref[k, 9],
+                                      zero + tri_ref[k, 10],
+                                      zero + tri_ref[k, 11]), bnrm),
+                    pm.where3(valid, (zero + tri_ref[k, 12],
+                                      zero + tri_ref[k, 13],
+                                      zero + tri_ref[k, 14]), bal),
+                    sel(zero + tri_ref[k, 15], bpar),
+                    sel(zero + tri_ref[k, 16], bkind))
+
+        def scan_chunk(ci, best):
+            # slab test of the chunk AABB against every ray in the tile
+            # (shader_tris.wgsl:150-159 semantics: WGSL min/max drop NaNs)
+            t0x = (chunk_ref[ci, 0] - o[0]) * inv_d[0]
+            t1x = (chunk_ref[ci, 3] - o[0]) * inv_d[0]
+            t0y = (chunk_ref[ci, 1] - o[1]) * inv_d[1]
+            t1y = (chunk_ref[ci, 4] - o[1]) * inv_d[1]
+            t0z = (chunk_ref[ci, 2] - o[2]) * inv_d[2]
+            t1z = (chunk_ref[ci, 5] - o[2]) * inv_d[2]
+            tmin = _fmax(_fmax(_fmin(t0x, t1x), _fmin(t0y, t1y)),
+                         _fmin(t0z, t1z))
+            tmax = _fmin(_fmin(_fmax(t0x, t1x), _fmax(t0y, t1y)),
+                         _fmax(t0z, t1z))
+            # also require the chunk to be nearer than the current best
+            # (conservative: entry distance vs per-ray best t)
+            enter = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[0])
+            live = (active > 0) & enter
+            lo = ci * CHUNK
+
+            def do(best):
+                # static trip count; the table is zero-padded to a chunk
+                # multiple, so padding triangles are degenerate (det == 0)
+                return jax.lax.fori_loop(
+                    0, CHUNK, lambda kk, b: scan_tri(lo + kk, b), best)
+
+            return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
+
+        best0 = (zero + FLT_MAX, (zero, zero, zero), (zero, zero, zero),
+                 zero, zero)
+        bt, bnrm, bal, bpar, bkind = jax.lax.fori_loop(
+            0, n_chunks, scan_chunk, best0)
+
+        hit = (active > 0) & (bt != FLT_MAX)
+
+        # hit record (shader_tris.wgsl:197-201): flat normal, NO flip,
+        # inverted front_face convention.
+        point = pm.add3(o, pm.scale3(d, bt))
+        front_face = pm.dot3(bnrm, d) > 0.0
+        kind_i = bkind.astype(jnp.int32)
+
+        ns, nd = tc.scatter(state, d, point, bnrm, front_face, bal, bpar,
+                            kind_i, normalize_reflect_in=normalize_reflect_in)
+
+        state = jnp.where(hit, ns, state)
+        o = pm.where3(hit, point, o)
+        d = pm.where3(hit, nd, d)
+        atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
+        return state, o, d, atten, hit.astype(jnp.int32)
+
+    state, o, d, atten, active = jax.lax.fori_loop(
+        0, bounces, bounce, (state, o, d, atten, active))
+
+    col = tc.sky_times_atten(primary_dy, atten)
+    out_ref[0] = col[0]
+    out_ref[1] = col[1]
+    out_ref[2] = col[2]
+
+
+def pack_tri_table(scene):
+    """Resolve per-triangle materials and build the (m, 17) VMEM table plus
+    the (n_chunks, 6) chunk-AABB SMEM table from the implicit-heap BVH."""
+    m = scene.m
+    n = scene.n  # padded power-of-two leaf count
+    mid = jnp.clip(scene.mat_id, 0, scene.mat_albedo.shape[0] - 1)
+    tab = jnp.concatenate([
+        scene.a, scene.b, scene.c, scene.normal,
+        scene.mat_albedo[mid],
+        scene.mat_param[mid][:, None],
+        scene.mat_kind[mid].astype(jnp.float32)[:, None],
+    ], axis=1).astype(jnp.float32)                      # (m, 17)
+    # zero-pad to the heap leaf count (>= a CHUNK multiple) so every chunk's
+    # 128-row scan stays in bounds; padding rows are degenerate triangles
+    # (det == 0, never hit)
+    m_pad = max(CHUNK, n)
+    if m_pad != m:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((m_pad - m, TRI_COLS), jnp.float32)])
+
+    if n >= CHUNK:
+        # nodes [n/CHUNK, 2n/CHUNK) each cover CHUNK consecutive leaves
+        lo = n // CHUNK
+        bmin = scene.bmin[lo:2 * lo]
+        bmax = scene.bmax[lo:2 * lo]
+    else:
+        # tiny mesh: one chunk, root AABB (node 1)
+        bmin = scene.bmin[1:2]
+        bmax = scene.bmax[1:2]
+    chunks = jnp.concatenate([bmin, bmax], axis=1).astype(jnp.float32)
+    return tab, chunks, m, chunks.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "height_pad", "width_pad", "bounces",
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "interpret"))
+def render_color_tris(scene, cam_row, time, *, height: int, width: int,
+                      height_pad: int, width_pad: int, bounces: int,
+                      normalize_defocus_dir: bool, normalize_reflect_in: bool,
+                      th: int = 8, tw: int = 256, interpret: bool = False):
+    """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
+    tab, chunks, m, n_chunks = pack_tri_table(scene)
+    grid = (height_pad // th, width_pad // tw)
+    kernel = functools.partial(
+        _kernel, m=m, n_chunks=n_chunks, height=height, width=width, th=th,
+        tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
+        normalize_reflect_in=normalize_reflect_in)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),
+                                       jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # time
+        ],
+        out_specs=pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tab, chunks, cam_row, time)

@@ -25,7 +25,14 @@ def image_to_u8(image: np.ndarray) -> np.ndarray:
     return v.astype(np.uint8)
 
 
-def render_ppm(image: np.ndarray) -> str:
+def render_ppm(image: np.ndarray, use_native: bool = True) -> str:
+    if use_native:
+        try:
+            from rt.scene import native_bridge
+            if native_bridge.available():
+                return native_bridge.render_ppm(np.asarray(image, np.float32))
+        except Exception:
+            pass
     h, w = image.shape[:2]
     u8 = image_to_u8(image).reshape(-1, 3)
     body = "".join(f"{r} {g} {b} " for r, g, b in u8)

@@ -84,6 +84,26 @@ def render_frame(scene, camera, state: RenderState, time,
     return RenderState(image=image, frame_count=state.frame_count + 1)
 
 
+@partial(jax.jit, static_argnames=("config", "n_frames"))
+def render_frames(scene, camera, state: RenderState, time0, time_step,
+                  config: RenderConfig, n_frames: int) -> RenderState:
+    """N progressive frames in ONE compiled call (lax.scan over the frame
+    loop) — amortizes dispatch latency and lets XLA pipeline tiles across
+    frames.  Equivalent to n_frames render_frame calls with
+    time = time0 + i*time_step (the test harness's 1000,1010,... schedule).
+    """
+    time0 = jnp.asarray(time0, jnp.uint32)
+    time_step = jnp.asarray(time_step, jnp.uint32)
+
+    def step(state, i):
+        t = time0 + i * time_step
+        return render_frame(scene, camera, state, t, config), None
+
+    state, _ = jax.lax.scan(step, state,
+                            jnp.arange(n_frames, dtype=jnp.uint32))
+    return state
+
+
 class ProgressiveRenderer:
     """Stateful convenience wrapper mirroring the reference Renderer's
     host-side API (draw / set_time / reset_frame_count / resize /
@@ -117,6 +137,15 @@ class ProgressiveRenderer:
         self.state = render_frame(self.scene_def.scene, self.camera,
                                   self.state, jnp.uint32(self.time),
                                   self.config)
+
+    def draw_frames(self, n_frames: int, time_step: int = 10):
+        """n progressive frames in one compiled call, starting at the
+        current time uniform; advances time past the last frame."""
+        self.state = render_frames(self.scene_def.scene, self.camera,
+                                   self.state, jnp.uint32(self.time),
+                                   jnp.uint32(time_step), self.config,
+                                   n_frames)
+        self.time = (self.time + n_frames * time_step) & 0xFFFFFFFF
 
     @property
     def image(self):

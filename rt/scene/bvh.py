@@ -67,9 +67,34 @@ class Tree:
             [self.mat_id, np.full(len(a), mat_index, np.int32)])
         return self
 
-    def build(self):
+    def build(self, use_native: bool = True):
         m = len(self.a)
         n = next_power_of_two(m)
+
+        if use_native and m > 0:
+            # C++ fast path (native/rt_native.cpp) — same BFS median-split
+            # and level-reduced AABBs; Python below is the oracle fallback.
+            try:
+                from rt.scene import native_bridge
+                if native_bridge.available():
+                    tri_lo = np.minimum(np.minimum(self.a, self.b), self.c)
+                    tri_hi = np.maximum(np.maximum(self.a, self.b), self.c)
+                    order, bmin, bmax = native_bridge.bvh_build(
+                        self.custom, tri_lo, tri_hi)
+                    self.a, self.b, self.c = (self.a[order], self.b[order],
+                                              self.c[order])
+                    self.custom = self.custom[order]
+                    self.mat_id = self.mat_id[order]
+                    self.bmin, self.bmax = bmin, bmax
+                    nrm = np.cross(self.b - self.a,
+                                   self.c - self.a).astype(np.float32)
+                    ln = np.sqrt(np.sum(nrm * nrm, axis=-1, dtype=np.float32))
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        self.custom = (nrm / ln[:, None]).astype(np.float32)
+                    self.sizes = (n, m)
+                    return self
+            except Exception:
+                pass  # fall through to the Python oracle
 
         # --- BFS median-split sort (tree.rs:37-55) -----------------------
         order = np.arange(m)

@@ -92,7 +92,10 @@ def load_obj(source, material=None, use_native: bool = True) -> Mesh:
             text = source
         native = _get_native() if use_native else None
         if native is not None:
-            v, f = native.parse_obj(text)
+            try:
+                v, f = native.parse_obj(text)
+            except Exception:
+                v, f = _parse_obj_python(text)
         else:
             v, f = _parse_obj_python(text)
     except Exception:

@@ -56,7 +56,8 @@ def sph_dielectric(center, radius, ir):
 
 def _sphere_scene(name, objects, camera, width=512, height=512) -> SceneDef:
     return SceneDef(name, "spheres", pack_spheres(objects), camera,
-                    RenderConfig.for_spheres(width, height))
+                    RenderConfig.for_spheres(
+                        width, height, n_active_spheres=len(objects)))
 
 
 # --------------------------------------------------------------------------
