@@ -99,6 +99,39 @@ def gather_image(state: RenderState) -> jnp.ndarray:
     return jax.device_get(state.image)
 
 
+def sample_sharded_render(mesh: Mesh, axis_name: str = AXIS):
+    """Sample-dimension parallelism (the TP/SP analog from SURVEY.md §2):
+    every device traces the FULL frame at a different RNG time uniform and
+    the results are averaged with one ``psum`` over ICI — a parallel version
+    of the progressive loop's uniform average (EMA weights before
+    saturation), for converged-render throughput.
+
+    Returns step(scene, camera, times, config) -> (H, W, 3) mean color,
+    where ``times`` is a (n_devices,) u32 array of time uniforms (one per
+    device, e.g. 1000, 1010, ...).
+    """
+    from jax import shard_map
+
+    from rt.render.renderer import render_color
+
+    rep = P()
+
+    def _mean(scene, camera, times, config: RenderConfig):
+        def per_device(scene, camera, t):
+            color = render_color(scene, camera, config, t[0])
+            return jax.lax.pmean(color, axis_name)
+
+        # check_vma=False: the closest-hit fori_loop seeds its carry with
+        # literals (unvarying) and updates them with per-device values
+        # (varying) — semantically fine, so skip the varying-axis check.
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(rep, rep, P(axis_name)),
+            out_specs=rep, check_vma=False)(scene, camera, times)
+
+    return jax.jit(_mean, static_argnames=("config",))
+
+
 def multihost_init(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> None:

@@ -78,7 +78,10 @@ def render_color(scene, camera, config: RenderConfig, time,
             bounces=config.bounces,
             normalize_defocus_dir=config.normalize_defocus_dir,
             normalize_reflect_in=config.normalize_reflect_in,
-            th=th, tw=tw, interpret=interpret)
+            # chunk=32 measured best on-chip for Suzanne (8.6 vs 8.0 fps
+            # at 128) — finer culling granularity wins until the MXU
+            # intersection path lands
+            th=th, tw=tw, chunk=32, interpret=interpret)
     else:
         raise TypeError(f"unknown scene type {type(scene)}")
 

@@ -60,6 +60,11 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
                                             # to legalize in Mosaic scf.for
 
     def bounce(_, carry):
+        # whole-tile early exit once every lane has escaped to the sky
+        return jax.lax.cond(jnp.any(carry[4] > 0), _bounce_body,
+                            lambda c: c, carry)
+
+    def _bounce_body(carry):
         state, o, d, atten, active = carry
 
         # ---- closest-hit scan over the sphere table ----------------------

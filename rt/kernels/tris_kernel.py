@@ -36,7 +36,7 @@ from rt.config import EPSILON_TRIS, FLT_MAX
 from rt.kernels import plane_math as pm
 from rt.kernels import tracer_common as tc
 
-CHUNK = 128
+CHUNK = 128  # default; overridable per call (static)
 
 # VMEM triangle-table columns:
 #   0:3 a, 3:6 b, 6:9 c, 9:12 normal, 12:15 albedo, 15 param, 16 kind
@@ -54,8 +54,8 @@ def _fmax(a, b):
 
 
 def _kernel(tri_ref, chunk_ref, cam_ref, time_ref, out_ref, *,
-            m: int, n_chunks: int, height: int, width: int, th: int, tw: int,
-            bounces: int, normalize_defocus_dir: bool,
+            m: int, n_chunks: int, chunk: int, height: int, width: int,
+            th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -81,6 +81,12 @@ def _kernel(tri_ref, chunk_ref, cam_ref, time_ref, out_ref, *,
     active = jnp.ones((th, tw), jnp.int32)
 
     def bounce(_, carry):
+        # whole-tile early exit: once every lane has escaped to the sky the
+        # remaining bounces are no-ops — skip the chunk scans entirely
+        return jax.lax.cond(jnp.any(carry[4] > 0), _bounce_body,
+                            lambda c: c, carry)
+
+    def _bounce_body(carry):
         state, o, d, atten, active = carry
         inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
 
@@ -134,13 +140,13 @@ def _kernel(tri_ref, chunk_ref, cam_ref, time_ref, out_ref, *,
             # (conservative: entry distance vs per-ray best t)
             enter = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[0])
             live = (active > 0) & enter
-            lo = ci * CHUNK
+            lo = ci * chunk
 
             def do(best):
                 # static trip count; the table is zero-padded to a chunk
                 # multiple, so padding triangles are degenerate (det == 0)
                 return jax.lax.fori_loop(
-                    0, CHUNK, lambda kk, b: scan_tri(lo + kk, b), best)
+                    0, chunk, lambda kk, b: scan_tri(lo + kk, b), best)
 
             return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
 
@@ -175,7 +181,7 @@ def _kernel(tri_ref, chunk_ref, cam_ref, time_ref, out_ref, *,
     out_ref[2] = col[2]
 
 
-def pack_tri_table(scene):
+def pack_tri_table(scene, chunk: int = CHUNK):
     """Resolve per-triangle materials and build the (m, 17) VMEM table plus
     the (n_chunks, 6) chunk-AABB SMEM table from the implicit-heap BVH."""
     m = scene.m
@@ -187,17 +193,17 @@ def pack_tri_table(scene):
         scene.mat_param[mid][:, None],
         scene.mat_kind[mid].astype(jnp.float32)[:, None],
     ], axis=1).astype(jnp.float32)                      # (m, 17)
-    # zero-pad to the heap leaf count (>= a CHUNK multiple) so every chunk's
-    # 128-row scan stays in bounds; padding rows are degenerate triangles
+    # zero-pad to the heap leaf count (>= a chunk multiple) so every chunk's
+    # scan stays in bounds; padding rows are degenerate triangles
     # (det == 0, never hit)
-    m_pad = max(CHUNK, n)
+    m_pad = max(chunk, n)
     if m_pad != m:
         tab = jnp.concatenate(
             [tab, jnp.zeros((m_pad - m, TRI_COLS), jnp.float32)])
 
-    if n >= CHUNK:
-        # nodes [n/CHUNK, 2n/CHUNK) each cover CHUNK consecutive leaves
-        lo = n // CHUNK
+    if n >= chunk:
+        # nodes [n/chunk, 2n/chunk) each cover chunk consecutive leaves
+        lo = n // chunk
         bmin = scene.bmin[lo:2 * lo]
         bmax = scene.bmax[lo:2 * lo]
     else:
@@ -210,16 +216,19 @@ def pack_tri_table(scene):
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "height_pad", "width_pad", "bounces",
-    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "interpret"))
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
+    "interpret"))
 def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       height_pad: int, width_pad: int, bounces: int,
                       normalize_defocus_dir: bool, normalize_reflect_in: bool,
-                      th: int = 8, tw: int = 256, interpret: bool = False):
+                      th: int = 8, tw: int = 256, chunk: int = CHUNK,
+                      interpret: bool = False):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
-    tab, chunks, m, n_chunks = pack_tri_table(scene)
+    tab, chunks, m, n_chunks = pack_tri_table(scene, chunk)
     grid = (height_pad // th, width_pad // tw)
     kernel = functools.partial(
-        _kernel, m=m, n_chunks=n_chunks, height=height, width=width, th=th,
+        _kernel, m=m, n_chunks=n_chunks, chunk=chunk, height=height,
+        width=width, th=th,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in)
     return pl.pallas_call(

@@ -79,3 +79,19 @@ def test_sharded_train_step_runs(mesh):
     """The full inverse-rendering step under a 2-D mesh (dryrun path)."""
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sample_sharded_render_matches_sequential(mesh):
+    """SP mode: 8 devices, one time uniform each, pmean over ICI == the
+    uniform average of 8 sequential single-frame renders."""
+    from rt.dist.sharding import sample_sharded_render
+    from rt.render.renderer import render_color
+
+    sd = small(scenes.test_scene_metal, 3)
+    times = jnp.arange(1000, 1080, 10, dtype=jnp.uint32)
+    step = sample_sharded_render(mesh)
+    out = np.asarray(step(sd.scene, sd.camera, times, sd.config))
+
+    seq = [np.asarray(render_color(sd.scene, sd.camera, sd.config, t))
+           for t in times]
+    np.testing.assert_allclose(out, np.mean(seq, axis=0), atol=2e-6, rtol=0)
