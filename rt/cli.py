@@ -3,19 +3,22 @@ shell (src/main.rs, src/app.rs).
 
 Scene selection mirrors App::parse_args + build_scene (src/app.rs:36-55):
 a scene id 1-7, random in 1..=7 when absent/unparsable.  Instead of a window
-swapchain, frames accumulate progressively into the device-resident image and
-are written out as PPM (the reference's own headless path,
-src/scene/render_ppm.rs).
+swapchain, frames accumulate progressively into the device-resident image
+(batched: ``render_frames`` scans N frames per compiled call) and are
+written out as PPM (the reference's own headless path,
+src/scene/render_ppm.rs).  Long renders can be checkpointed and resumed.
 
 Usage:
     python -m rt.cli [scene_id] [--frames N] [--size WxH] [-o out.ppm]
                      [--backend jax|pallas] [--time-step MS] [--stats]
+                     [--batch N] [--checkpoint PATH] [--resume]
 """
 
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import random
 import sys
 import time as time_mod
@@ -38,10 +41,16 @@ def parse_args(argv=None):
     p.add_argument("--time-step", type=int, default=10,
                    help="ms added to the RNG time uniform per frame")
     p.add_argument("--start-time", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=25,
+                   help="frames per compiled render_frames call")
     p.add_argument("--stats", action="store_true",
                    help="print throughput stats per frame batch")
     p.add_argument("--seed", type=int, default=0,
                    help="seed for the randomized globe scene (scene 2)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; saved after every batch")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
     return p.parse_args(argv)
 
 
@@ -58,6 +67,11 @@ def resolve_scene_id(args) -> int:
 
 
 def main(argv=None) -> int:
+    import numpy as np
+
+    from rt.utils import RenderStats, setup_logging
+
+    setup_logging()
     args = parse_args(argv)
     scene_id = resolve_scene_id(args)
     w, h = (int(v) for v in args.size.lower().split("x"))
@@ -71,21 +85,32 @@ def main(argv=None) -> int:
           f"backend={sd.config.backend}", file=sys.stderr)
 
     r = ProgressiveRenderer(sd)
-    t0 = time_mod.perf_counter()
-    for i in range(args.frames):
-        r.set_time(args.start_time + args.time_step * i)
-        r.draw()
-        if args.stats and (i + 1) % 25 == 0:
-            r.state.image.block_until_ready()
-            dt = time_mod.perf_counter() - t0
-            rays = (i + 1) * w * h * sd.config.samples_per_frame
-            print(f"  frame {i+1}/{args.frames}: {rays/dt:.3e} camera rays/s",
+    r.set_time(args.start_time)
+    done = 0
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        from rt.render.checkpoint import load_render_state
+        r.state, t = load_render_state(args.checkpoint)
+        r.set_time(t)
+        done = int(r.state.frame_count)
+        print(f"resumed at frame {done} (time {t})", file=sys.stderr)
+
+    stats = RenderStats(width=w, height=h, bounces=sd.config.bounces,
+                        samples_per_frame=sd.config.samples_per_frame)
+    while done < args.frames:
+        n = min(args.batch, args.frames - done)
+        t0 = time_mod.perf_counter()
+        r.draw_frames(n, args.time_step)
+        np.asarray(r.state.image)       # sync (axon-safe)
+        stats.update(n, time_mod.perf_counter() - t0)
+        done += n
+        if args.checkpoint:
+            from rt.render.checkpoint import save_render_state
+            save_render_state(args.checkpoint, r.state, r.time)
+        if args.stats:
+            print(f"  frame {done}/{args.frames}: {stats.summary()}",
                   file=sys.stderr)
-    r.state.image.block_until_ready()
-    dt = time_mod.perf_counter() - t0
     write_ppm(args.output, r.image)
-    print(f"wrote {args.output} ({args.frames} frames in {dt:.2f}s)",
-          file=sys.stderr)
+    print(f"wrote {args.output} ({stats.summary()})", file=sys.stderr)
     return 0
 
 

@@ -53,7 +53,7 @@ def _fmax(a, b):
     return jnp.where(jnp.isnan(a) | (b > a), b, a)
 
 
-def _kernel(tri_ref, chunk_ref, cam_ref, time_ref, out_ref, *,
+def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
             m: int, n_chunks: int, chunk: int, height: int, width: int,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool):
@@ -123,7 +123,10 @@ def _kernel(tri_ref, chunk_ref, cam_ref, time_ref, out_ref, *,
                     sel(zero + tri_ref[k, 15], bpar),
                     sel(zero + tri_ref[k, 16], bkind))
 
-        def scan_chunk(ci, best):
+        def scan_chunk(oi, best):
+            # visit chunks approximately front-to-back (order precomputed
+            # from the camera eye) so the `tmin < best_t` rejection prunes
+            ci = order_ref[oi, 0]
             # slab test of the chunk AABB against every ray in the tile
             # (shader_tris.wgsl:150-159 semantics: WGSL min/max drop NaNs)
             t0x = (chunk_ref[ci, 0] - o[0]) * inv_d[0]
@@ -225,6 +228,13 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       interpret: bool = False):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
     tab, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    # approximate front-to-back chunk order from the camera eye (closest
+    # chunk-AABB centroid first); ties/order only affect pruning, not the
+    # closest-hit result (strict t < best)
+    eye = cam_row[0, 0:3]
+    centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
+    dist = jnp.sum((centroid - eye) ** 2, axis=1)
+    order = jnp.argsort(dist).astype(jnp.int32)[:, None]   # (n_chunks, 1)
     grid = (height_pad // th, width_pad // tw)
     kernel = functools.partial(
         _kernel, m=m, n_chunks=n_chunks, chunk=chunk, height=height,
@@ -239,10 +249,11 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
             pl.BlockSpec(memory_space=pltpu.SMEM),   # time
         ],
         out_specs=pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tab, chunks, cam_row, time)
+    )(tab, chunks, order, cam_row, time)
