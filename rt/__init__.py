@@ -18,7 +18,10 @@ TPU-first:
                  reference is single-GPU)
 - ``rt.grad``    differentiable rendering: frozen-RNG pixel gradients,
                  finite-difference checks, inverse-rendering optimizer loops.
+- ``rt.utils``   profiling / stats / logging.
 - ``rt.cli``     headless scene-id CLI mirroring src/app.rs dispatch.
+- ``rt.viewer``  interactive terminal viewer (orbit camera + live display).
+- ``native/``    C++ host runtime (OBJ parse, BVH build, PPM) via ctypes.
 """
 
 __version__ = "0.1.0"

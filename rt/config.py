@@ -67,6 +67,11 @@ class RenderConfig:
     # except the measure-zero case of a ray exactly through a zero-radius
     # padding sphere's center.
     n_active_spheres: int = 0
+    # Material kinds present in the scene (static): the Pallas kernels skip
+    # scatter arms for absent kinds (a WGSL shader would be specialized the
+    # same way at pipeline-creation time). The oracle always evaluates all
+    # arms (masked), so results agree on every lane that can actually hit.
+    mat_kinds: tuple = (MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC)
 
     @staticmethod
     def for_spheres(width: int = 512, height: int = 512, **kw) -> "RenderConfig":

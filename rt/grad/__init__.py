@@ -1,4 +1,5 @@
-from rt.grad.params import (CameraParams, SphereParams, apply_params,
+from rt.grad.params import (CameraParams, SphereParams, TriangleParams,
+                            apply_params, apply_tri_params,
                             camera_from_params, look_at_jnp)
 from rt.grad.diff_render import render_image_diff, trace_diff
 from rt.grad.loss import image_mse
@@ -6,7 +7,8 @@ from rt.grad.fd import finite_difference_check
 from rt.grad.train import TrainStep, fit, make_train_step
 
 __all__ = [
-    "CameraParams", "SphereParams", "apply_params", "camera_from_params",
+    "CameraParams", "SphereParams", "TriangleParams", "apply_params",
+    "apply_tri_params", "camera_from_params",
     "look_at_jnp", "render_image_diff", "trace_diff", "image_mse",
     "finite_difference_check", "TrainStep", "make_train_step", "fit",
 ]

@@ -90,3 +90,24 @@ def apply_params(scene: SphereArray, p: SphereParams) -> SphereArray:
 
 def camera_from_params(p: Optional[CameraParams], base: Camera) -> Camera:
     return base if p is None else look_at_jnp(p)
+
+
+class TriangleParams(NamedTuple):
+    """Differentiable per-MESH material parameters of a TriangleScene
+    (the reference's per-mesh material table, scene_tris.rs:21-44) —
+    BASELINE config 5's 'optimize material albedo/roughness' for Suzanne."""
+
+    mat_albedo: Optional[jnp.ndarray] = None  # (K, 3)
+    mat_param: Optional[jnp.ndarray] = None   # (K,)  fuzz / IOR
+
+    @staticmethod
+    def from_scene(scene, *, albedo=True, param=False) -> "TriangleParams":
+        return TriangleParams(
+            mat_albedo=scene.mat_albedo if albedo else None,
+            mat_param=scene.mat_param if param else None)
+
+
+def apply_tri_params(scene, p: TriangleParams):
+    return scene._replace(
+        mat_albedo=scene.mat_albedo if p.mat_albedo is None else p.mat_albedo,
+        mat_param=scene.mat_param if p.mat_param is None else p.mat_param)

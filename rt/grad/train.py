@@ -19,7 +19,8 @@ import optax
 from rt.config import RenderConfig
 from rt.grad.diff_render import render_image_diff
 from rt.grad.loss import image_mse
-from rt.grad.params import (CameraParams, SphereParams, apply_params,
+from rt.grad.params import (CameraParams, SphereParams, TriangleParams,
+                            apply_params, apply_tri_params,
                             camera_from_params)
 
 
@@ -40,8 +41,12 @@ def make_train_step(base_scene, base_camera, config: RenderConfig,
     times = tuple(int(t) for t in times)
 
     def loss_fn(params, target):
-        scene = apply_params(base_scene, params["scene"]) \
-            if "scene" in params else base_scene
+        scene = base_scene
+        if "scene" in params:
+            sp = params["scene"]
+            scene = (apply_tri_params(base_scene, sp)
+                     if isinstance(sp, TriangleParams)
+                     else apply_params(base_scene, sp))
         camera = camera_from_params(params.get("camera"), base_camera)
         img = render_image_diff(scene, camera, config, times, remat=remat)
         return image_mse(img, target)
@@ -68,7 +73,12 @@ def fit(base_scene, base_camera, config: RenderConfig, target,
     if init_params:
         params.update(init_params)
     if optimize_scene and "scene" not in params:
-        params["scene"] = SphereParams.from_scene(base_scene, **scene_fields)
+        from rt.core.sphere import SphereArray
+        if isinstance(base_scene, SphereArray):
+            params["scene"] = SphereParams.from_scene(base_scene,
+                                                      **scene_fields)
+        else:
+            params["scene"] = TriangleParams.from_scene(base_scene)
     if optimize_camera and "camera" not in params:
         raise ValueError("optimize_camera requires init_params['camera'] "
                          "(a CameraParams initial guess)")

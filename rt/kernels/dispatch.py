@@ -57,6 +57,9 @@ def render_color(scene, camera, config: RenderConfig, time,
 
     cam_row = pack_camera(camera)
     time_arr = jnp.asarray(time, jnp.uint32).reshape(1, 1)
+    from rt.config import MAT_DIELECTRIC, MAT_METAL
+    has_metal = MAT_METAL in config.mat_kinds
+    has_dielectric = MAT_DIELECTRIC in config.mat_kinds
 
     if isinstance(scene, SphereArray):
         from rt.kernels.sphere_kernel import render_color_spheres
@@ -69,7 +72,8 @@ def render_color(scene, camera, config: RenderConfig, time,
             bounces=config.bounces,
             normalize_defocus_dir=config.normalize_defocus_dir,
             normalize_reflect_in=config.normalize_reflect_in,
-            th=th, tw=tw, interpret=interpret)
+            th=th, tw=tw, has_metal=has_metal,
+            has_dielectric=has_dielectric, interpret=interpret)
     elif isinstance(scene, TriangleScene):
         from rt.kernels.tris_kernel import render_color_tris
         color = render_color_tris(
@@ -81,7 +85,8 @@ def render_color(scene, camera, config: RenderConfig, time,
             # chunk=32 measured best on-chip for Suzanne (8.6 vs 8.0 fps
             # at 128) — finer culling granularity wins until the MXU
             # intersection path lands
-            th=th, tw=tw, chunk=32, interpret=interpret)
+            th=th, tw=tw, chunk=32, has_metal=has_metal,
+            has_dielectric=has_dielectric, interpret=interpret)
     else:
         raise TypeError(f"unknown scene type {type(scene)}")
 

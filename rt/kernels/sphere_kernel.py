@@ -34,7 +34,8 @@ SPH_COLS = 8
 def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
             n_spheres: int, height: int, width: int, th: int, tw: int,
             bounces: int, normalize_defocus_dir: bool,
-            normalize_reflect_in: bool):
+            normalize_reflect_in: bool, has_metal: bool = True,
+            has_dielectric: bool = True):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
@@ -109,7 +110,9 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
         normal = pm.where3(front_face, normal, pm.neg3(normal))
 
         ns, nd = tc.scatter(state, d, point, normal, front_face, bal, bpar,
-                            bkind, normalize_reflect_in=normalize_reflect_in)
+                            bkind, normalize_reflect_in=normalize_reflect_in,
+                            has_metal=has_metal,
+                            has_dielectric=has_dielectric)
 
         state = jnp.where(hit, ns, state)
         o = pm.where3(hit, point, o)
@@ -128,13 +131,16 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_spheres", "height", "width", "height_pad", "width_pad", "bounces",
-    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "interpret"))
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw",
+    "has_metal", "has_dielectric", "interpret"))
 def render_color_spheres(sph_table, kind_table, cam_row, time, *,
                          n_spheres: int, height: int, width: int,
                          height_pad: int, width_pad: int,
                          bounces: int, normalize_defocus_dir: bool,
                          normalize_reflect_in: bool, th: int = 16,
-                         tw: int = 256, interpret: bool = False):
+                         tw: int = 256, has_metal: bool = True,
+                         has_dielectric: bool = True,
+                         interpret: bool = False):
     """Returns planar (3, Hp, Wp) color for one frame (crop to H, W).
 
     height/width: REAL resolution (seed + uv math); height_pad/width_pad:
@@ -145,7 +151,8 @@ def render_color_spheres(sph_table, kind_table, cam_row, time, *,
     kernel = functools.partial(
         _kernel, n_spheres=n_spheres, height=height, width=width, th=th,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
-        normalize_reflect_in=normalize_reflect_in)
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),

@@ -77,7 +77,8 @@ def generate_rays(cam, x_f, y_f, x_u, y_u, *, height: int, width: int,
 
 
 def scatter(state, d, point, normal, front_face, albedo, param, kind, *,
-            normalize_reflect_in: bool):
+            normalize_reflect_in: bool, has_metal: bool = True,
+            has_dielectric: bool = True):
     """Masked three-way material scatter — plane port of
     rt/core/materials.scatter (shader_sphere.wgsl:172-217).
 
@@ -85,33 +86,53 @@ def scatter(state, d, point, normal, front_face, albedo, param, kind, *,
     RNG-stream semantics preserved: lambertian/metal consume 3 draws;
     dielectric consumes 1 draw unless total internal reflection (WGSL ``||``
     short-circuit); unknown kinds take the dielectric arm.
+
+    has_metal/has_dielectric: static scene facts (config.mat_kinds) — absent
+    arms are skipped entirely, like specializing the shader per scene.
+    Skipping is sound because scatter outputs only matter on hit lanes, and
+    hit lanes always carry a kind that IS present.
     """
     s1, f1 = pm.rng_float(state)
-    s2, f2 = pm.rng_float(s1)
-    s3, f3 = pm.rng_float(s2)
-    hemi = pm.normalize3((f1, f2, f3))
-    hemi = pm.where3(pm.dot3(hemi, normal) > 0.0, hemi, pm.neg3(hemi))
-
+    s3 = hemi = None
+    if True:  # lambertian arm always present (ground planes etc.)
+        s2, f2 = pm.rng_float(s1)
+        s3, f3 = pm.rng_float(s2)
+        hemi = pm.normalize3((f1, f2, f3))
+        hemi = pm.where3(pm.dot3(hemi, normal) > 0.0, hemi, pm.neg3(hemi))
     lam_dir = hemi
 
-    refl_in = pm.normalize3(d) if normalize_reflect_in else d
-    met_dir = pm.normalize3(
-        pm.add3(pm.reflect3(refl_in, normal), pm.scale3(hemi, param)))
+    if has_metal:
+        refl_in = pm.normalize3(d) if normalize_reflect_in else d
+        met_dir = pm.normalize3(
+            pm.add3(pm.reflect3(refl_in, normal), pm.scale3(hemi, param)))
 
-    ir = jnp.where(front_face, 1.0 / param, param)
-    cos_theta = jnp.minimum(pm.dot3(pm.neg3(d), normal), 1.0)
-    sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
-    cannot_refract = ir * sin_theta > 1.0
-    use_reflect = cannot_refract | (pm.schlick(cos_theta, ir) > pm.fract(f1))
-    die_dir = pm.where3(use_reflect,
-                        pm.normalize3(pm.reflect3(d, normal)),
-                        pm.normalize3(pm.refract3(d, normal, ir)))
-    die_state = jnp.where(cannot_refract, state, s1)
+    if has_dielectric:
+        ir = jnp.where(front_face, 1.0 / param, param)
+        cos_theta = jnp.minimum(pm.dot3(pm.neg3(d), normal), 1.0)
+        sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
+        cannot_refract = ir * sin_theta > 1.0
+        use_reflect = cannot_refract | (pm.schlick(cos_theta, ir)
+                                        > pm.fract(f1))
+        die_dir = pm.where3(use_reflect,
+                            pm.normalize3(pm.reflect3(d, normal)),
+                            pm.normalize3(pm.refract3(d, normal, ir)))
+        die_state = jnp.where(cannot_refract, state, s1)
 
     is_lam = kind == 1
-    is_met = kind == 2
-    new_dir = pm.where3(is_lam, lam_dir, pm.where3(is_met, met_dir, die_dir))
-    new_state = jnp.where(is_lam | is_met, s3, die_state)
+    if has_metal and has_dielectric:
+        is_met = kind == 2
+        new_dir = pm.where3(is_lam, lam_dir,
+                            pm.where3(is_met, met_dir, die_dir))
+        new_state = jnp.where(is_lam | is_met, s3, die_state)
+    elif has_metal:
+        new_dir = pm.where3(is_lam, lam_dir, met_dir)
+        new_state = s3
+    elif has_dielectric:
+        new_dir = pm.where3(is_lam, lam_dir, die_dir)
+        new_state = jnp.where(is_lam, s3, die_state)
+    else:
+        new_dir = lam_dir
+        new_state = s3
     return new_state, new_dir
 
 

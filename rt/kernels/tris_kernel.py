@@ -56,7 +56,8 @@ def _fmax(a, b):
 def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
             m: int, n_chunks: int, chunk: int, height: int, width: int,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
-            normalize_reflect_in: bool):
+            normalize_reflect_in: bool, has_metal: bool = True,
+            has_dielectric: bool = True):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
@@ -167,7 +168,9 @@ def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
         kind_i = bkind.astype(jnp.int32)
 
         ns, nd = tc.scatter(state, d, point, bnrm, front_face, bal, bpar,
-                            kind_i, normalize_reflect_in=normalize_reflect_in)
+                            kind_i, normalize_reflect_in=normalize_reflect_in,
+                            has_metal=has_metal,
+                            has_dielectric=has_dielectric)
 
         state = jnp.where(hit, ns, state)
         o = pm.where3(hit, point, o)
@@ -220,11 +223,12 @@ def pack_tri_table(scene, chunk: int = CHUNK):
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
-    "interpret"))
+    "has_metal", "has_dielectric", "interpret"))
 def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       height_pad: int, width_pad: int, bounces: int,
                       normalize_defocus_dir: bool, normalize_reflect_in: bool,
                       th: int = 8, tw: int = 256, chunk: int = CHUNK,
+                      has_metal: bool = True, has_dielectric: bool = True,
                       interpret: bool = False):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
     tab, chunks, m, n_chunks = pack_tri_table(scene, chunk)
@@ -240,7 +244,8 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         _kernel, m=m, n_chunks=n_chunks, chunk=chunk, height=height,
         width=width, th=th,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
-        normalize_reflect_in=normalize_reflect_in)
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),

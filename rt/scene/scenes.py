@@ -55,9 +55,11 @@ def sph_dielectric(center, radius, ir):
 
 
 def _sphere_scene(name, objects, camera, width=512, height=512) -> SceneDef:
+    kinds = tuple(sorted({int(o[4]) for o in objects})) or (MAT_LAMBERTIAN,)
     return SceneDef(name, "spheres", pack_spheres(objects), camera,
                     RenderConfig.for_spheres(
-                        width, height, n_active_spheres=len(objects)))
+                        width, height, n_active_spheres=len(objects),
+                        mat_kinds=kinds))
 
 
 # --------------------------------------------------------------------------
@@ -115,8 +117,10 @@ def scene_sphere_globe(width=512, height=512, seed: int = 0) -> SceneDef:
 
 def _tris_scene(name, meshes, camera, width=512, height=512) -> SceneDef:
     tree = bvh_mod.build_tree(meshes)
+    kinds = tuple(sorted({int(m[2]) for m in tree.materials})) \
+        or (MAT_LAMBERTIAN,)
     return SceneDef(name, "triangles", bvh_mod.to_triangle_scene(tree), camera,
-                    RenderConfig.for_triangles(width, height))
+                    RenderConfig.for_triangles(width, height, mat_kinds=kinds))
 
 
 def scene_quad(width=512, height=512) -> SceneDef:

@@ -134,3 +134,40 @@ def test_albedo_recovery():
     assert losses[-1] < losses[0] * 0.05
     rec = np.asarray(params["scene"].albedo[1])
     np.testing.assert_allclose(rec, np.asarray(sd.scene.albedo[1]), atol=0.08)
+
+
+def test_finite_difference_triangle_material():
+    """BASELINE config 5's parameter class: per-mesh albedo gradients on a
+    triangle scene, FD-verified."""
+    from rt.grad import TriangleParams, apply_tri_params
+    sd = scenes.scene_cube(W, H)
+    sd = dataclasses.replace(
+        sd, config=dataclasses.replace(sd.config, bounces=2))
+    target = render_color_diff(sd.scene, sd.camera, sd.config,
+                               jnp.uint32(2000))
+
+    def loss(p):
+        sc = apply_tri_params(sd.scene, p)
+        img = render_color_diff(sc, sd.camera, sd.config, jnp.uint32(1000))
+        return image_mse(img, target)
+
+    loss = jax.jit(loss)
+    p0 = TriangleParams.from_scene(sd.scene, albedo=True)
+    max_rel, _ = finite_difference_check(loss, p0, eps=1e-2, num_coords=3,
+                                         rtol=0.2)
+    assert max_rel <= 0.2
+
+
+@pytest.mark.slow
+def test_triangle_albedo_recovery():
+    from rt.grad import TriangleParams, fit
+    sd = scenes.scene_cube(W, H)
+    sd = dataclasses.replace(
+        sd, config=dataclasses.replace(sd.config, bounces=2))
+    target = render_image_diff(sd.scene, sd.camera, sd.config, (1000,))
+    wrong = sd.scene.mat_albedo.at[0].set(jnp.array([0.9, 0.1, 0.1]))
+    init = {"scene": TriangleParams(mat_albedo=wrong)}
+    params, losses = fit(sd.scene, sd.camera, sd.config, target,
+                         times=(1000,), steps=60, learning_rate=5e-2,
+                         init_params=init, optimize_scene=False)
+    assert losses[-1] < losses[0] * 0.05
