@@ -171,3 +171,38 @@ def test_triangle_albedo_recovery():
                          times=(1000,), steps=60, learning_rate=5e-2,
                          init_params=init, optimize_scene=False)
     assert losses[-1] < losses[0] * 0.05
+
+
+def test_soft_render_camera_gradients_everywhere():
+    """The soft-visibility surrogate has nonzero, FD-matching camera
+    gradients INCLUDING the x components the hard renderer structurally
+    zeroes out."""
+    from rt.grad.soft import make_soft_loss, soft_render
+    sd = tiny_scene(bounces=2)
+    target = soft_render(sd.scene, sd.camera, sd.config, jnp.uint32(1000))
+    cp = CameraParams.create((0.15, 0.1, 3.4), (0.0, 0.0, 0.0), 3.5, 0.04,
+                             np.pi * 0.2)
+    loss = make_soft_loss(sd.scene, sd.config, target)
+    g = jax.grad(loss)(cp)
+    assert float(g.eye[0]) != 0.0          # x-gradient is alive here
+    max_rel, _ = finite_difference_check(loss, cp, eps=1e-3, num_coords=6,
+                                         rtol=0.2)
+    assert max_rel <= 0.2
+
+
+@pytest.mark.slow
+def test_soft_camera_recovery():
+    """Recover a camera-eye offset by annealed soft-visibility descent."""
+    from rt.grad.soft import recover_camera, soft_render
+    sd = tiny_scene()
+    true_cp = CameraParams.create((0.0, 0.0, 3.5), (0.0, 0.0, 0.0), 3.5,
+                                  0.04, np.pi * 0.2)
+    from rt.grad import look_at_jnp
+    target = soft_render(sd.scene, look_at_jnp(true_cp), sd.config,
+                         jnp.uint32(1000), tau=0.02)
+    init = CameraParams.create((0.35, -0.25, 3.5), (0.0, 0.0, 0.0), 3.5,
+                               0.04, np.pi * 0.2)
+    rec, losses = recover_camera(sd.scene, sd.config, target, init,
+                                 steps=240, learning_rate=2e-2)
+    err = float(jnp.max(jnp.abs(rec.eye - true_cp.eye)))
+    assert err < 0.08, f"eye error {err}"
