@@ -51,6 +51,9 @@ def parse_args(argv=None):
                    help="checkpoint file; saved after every batch")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if it exists")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the image by rows across all devices "
+                        "(height must divide by the device count)")
     return p.parse_args(argv)
 
 
@@ -85,6 +88,21 @@ def main(argv=None) -> int:
           f"backend={sd.config.backend}", file=sys.stderr)
 
     r = ProgressiveRenderer(sd)
+    if args.sharded:
+        import jax
+
+        from rt.dist import make_mesh, shard_scene, shard_state
+        mesh = make_mesh()
+        if h % len(jax.devices()) != 0:
+            print(f"--sharded: height {h} not divisible by "
+                  f"{len(jax.devices())} devices", file=sys.stderr)
+            return 2
+        r.state = shard_state(r.state, mesh)
+        sd = dataclasses.replace(sd, scene=shard_scene(sd.scene, mesh),
+                                 camera=shard_scene(sd.camera, mesh))
+        r.scene_def = sd
+        r.camera = sd.camera
+        print(f"sharded over {len(jax.devices())} devices", file=sys.stderr)
     r.set_time(args.start_time)
     done = 0
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
