@@ -1,0 +1,52 @@
+"""Triangle-scene regression goldens.
+
+The reference has NO golden tests for its mesh scenes (SURVEY.md §4 —
+triangle coverage is smoke renders only).  These goldens close that gap:
+generated once from this repo's oracle (which is bit-exact vs the
+reference's sphere goldens, so the shared machinery — RNG, camera, scatter,
+accumulation — is anchored), 128×128, 8 frames at times 1000..1070.
+
+The comparison bound is 0.05% (40× tighter than the reference's 2%
+acceptance): renders must stay essentially bit-stable; any intentional
+change to traversal/intersection semantics must regenerate these via
+``python tests/test_golden_tris.py``.
+"""
+
+import os
+
+import pytest
+
+from rt.render import ProgressiveRenderer, compare_ppm, render_ppm
+from rt.scene import scenes
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_tris")
+BUILDERS = {
+    "quad": scenes.scene_quad,
+    "cube": scenes.scene_cube,
+    "suzanne": scenes.scene_suzanne,
+}
+
+
+def render(builder):
+    sd = builder(128, 128)
+    r = ProgressiveRenderer(sd)
+    r.set_time(1000)
+    r.draw_frames(8)
+    return r
+
+
+@pytest.mark.parametrize("name", sorted(BUILDERS))
+def test_triangle_golden(name):
+    r = render(BUILDERS[name])
+    golden = open(os.path.join(GOLDEN_DIR, f"{name}.ppm")).read()
+    ok, pct = compare_ppm(render_ppm(r.image), golden, 0.05)
+    assert ok, f"{name}: {pct:.4f}% > 0.05%"
+
+
+if __name__ == "__main__":  # regeneration entry point
+    from rt.render import write_ppm
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, builder in BUILDERS.items():
+        write_ppm(os.path.join(GOLDEN_DIR, f"{name}.ppm"),
+                  render(builder).image)
+        print(f"regenerated {name}.ppm")
