@@ -187,11 +187,39 @@ def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
     out_ref[2] = col[2]
 
 
+def _morton_order(centroids):
+    """Spatial sort by 30-bit Morton code (jnp — runs under jit; the scene
+    is a traced pytree there).
+
+    The parity-critical implicit-heap BVH (rt/scene/bvh.py) uses the
+    reference's BFS median splits, whose subtree AABBs overlap badly on
+    merged scenes (measured 81% live chunks on Suzanne — PERF.md).  The
+    kernel is free to scan triangles in ANY order (closest-hit with strict
+    ``t < best`` is order-independent up to measure-zero ties), so its
+    chunks come from a Morton sort: spatially compact clusters → tight
+    chunk AABBs → the slab test culls far more.
+    """
+    c = centroids.astype(jnp.float32)
+    lo = c.min(axis=0)
+    span = jnp.maximum(c.max(axis=0) - lo, 1e-12)
+    q = jnp.clip((c - lo) / span * 1023.0, 0, 1023).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    code = ((spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1)
+            | spread(q[:, 2]))
+    return jnp.argsort(code, stable=True)
+
+
 def pack_tri_table(scene, chunk: int = CHUNK):
-    """Resolve per-triangle materials and build the (m, 17) VMEM table plus
-    the (n_chunks, 6) chunk-AABB SMEM table from the implicit-heap BVH."""
+    """Resolve per-triangle materials and build the (m_pad, 17) VMEM table
+    (Morton-clustered order) plus the (n_chunks, 6) chunk-AABB SMEM table."""
     m = scene.m
-    n = scene.n  # padded power-of-two leaf count
     mid = jnp.clip(scene.mat_id, 0, scene.mat_albedo.shape[0] - 1)
     tab = jnp.concatenate([
         scene.a, scene.b, scene.c, scene.normal,
@@ -199,25 +227,29 @@ def pack_tri_table(scene, chunk: int = CHUNK):
         scene.mat_param[mid][:, None],
         scene.mat_kind[mid].astype(jnp.float32)[:, None],
     ], axis=1).astype(jnp.float32)                      # (m, 17)
-    # zero-pad to the heap leaf count (>= a chunk multiple) so every chunk's
-    # scan stays in bounds; padding rows are degenerate triangles
-    # (det == 0, never hit)
-    m_pad = max(chunk, n)
+
+    order = _morton_order((scene.a + scene.b + scene.c) / 3.0)
+    tab = tab[order]
+
+    # zero-pad to a chunk multiple; padding rows are degenerate (det == 0)
+    m_pad = -(-m // chunk) * chunk
     if m_pad != m:
         tab = jnp.concatenate(
             [tab, jnp.zeros((m_pad - m, TRI_COLS), jnp.float32)])
 
-    if n >= chunk:
-        # nodes [n/chunk, 2n/chunk) each cover chunk consecutive leaves
-        lo = n // chunk
-        bmin = scene.bmin[lo:2 * lo]
-        bmax = scene.bmax[lo:2 * lo]
-    else:
-        # tiny mesh: one chunk, root AABB (node 1)
-        bmin = scene.bmin[1:2]
-        bmax = scene.bmax[1:2]
-    chunks = jnp.concatenate([bmin, bmax], axis=1).astype(jnp.float32)
-    return tab, chunks, m, chunks.shape[0]
+    # chunk AABBs over the clustered order (vertex min/max per chunk);
+    # padding chunks would be empty — m_pad is an exact multiple so every
+    # chunk holds >= 1 real triangle except possibly the last, whose box
+    # only shrinks
+    verts = tab[:, 0:9].reshape(m_pad, 3, 3)
+    pad_mask = (jnp.arange(m_pad) >= m)[:, None, None]
+    big = jnp.float32(3.0e38)
+    vmin = jnp.where(pad_mask, big, verts).reshape(-1, chunk, 3, 3).min(
+        axis=(1, 2))
+    vmax = jnp.where(pad_mask, -big, verts).reshape(-1, chunk, 3, 3).max(
+        axis=(1, 2))
+    chunks = jnp.concatenate([vmin, vmax], axis=1).astype(jnp.float32)
+    return tab, chunks, m_pad, chunks.shape[0]
 
 
 @functools.partial(jax.jit, static_argnames=(
