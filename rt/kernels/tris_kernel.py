@@ -15,8 +15,9 @@ the SAME spatially-sorted triangle order the BVH build produces
   skipped via a scalar branch (``lax.cond``) — tile-coherent culling, the
   VPU analog of packet traversal;
 - inside a live chunk the triangle loop broadcasts per-triangle scalars from
-  VMEM (per-triangle material already resolved at pack time), updating
-  closest-hit planes with selects — zero gathers anywhere.
+  VMEM (edges precomputed at pack time), tracking only (t, normal, mat_id)
+  closest-hit planes with selects — zero gathers anywhere; material
+  attributes are resolved ONCE per bounce from the winning mat id.
 
 Closest-hit semantics match rt/core/triangle.py: strict ``t < best`` with
 ascending triangle index order, EPSILON = 1e-4, flat normals, the inverted
@@ -38,9 +39,11 @@ from rt.kernels import tracer_common as tc
 
 CHUNK = 128  # default; overridable per call (static)
 
-# VMEM triangle-table columns:
-#   0:3 a, 3:6 b, 6:9 c, 9:12 normal, 12:15 albedo, 15 param, 16 kind
-TRI_COLS = 17
+# VMEM triangle-table columns (edges precomputed at pack time — the kernel
+# never re-derives b-a/c-a per lane, and material attributes are deferred to
+# a once-per-bounce resolve keyed on the winning mat id):
+#   0:3 a, 3:6 e1 = b-a, 6:9 e2 = c-a, 9:12 normal, 12 mat_id (as f32)
+TRI_COLS = 13
 
 
 def _fmin(a, b):
@@ -53,8 +56,10 @@ def _fmax(a, b):
     return jnp.where(jnp.isnan(a) | (b > a), b, a)
 
 
-def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
-            m: int, n_chunks: int, chunk: int, height: int, width: int,
+def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
+            out_ref, *,
+            m: int, n_chunks: int, chunk: int, n_mats: int, height: int,
+            width: int,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
             has_dielectric: bool = True):
@@ -92,19 +97,17 @@ def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
         inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
 
         def scan_tri(k, best):
-            bt, bnrm, bal, bpar, bkind = best
-            a3 = (zero + tri_ref[k, 0], zero + tri_ref[k, 1],
-                  zero + tri_ref[k, 2])
-            b3 = (tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5])
-            c3 = (tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8])
-            # Möller–Trumbore (shader_tris.wgsl:161-202); edges are
-            # scalar-scalar differences broadcast against ray planes.
-            e1 = (b3[0] - a3[0], b3[1] - a3[1], b3[2] - a3[2])
-            e2 = (c3[0] - a3[0], c3[1] - a3[1], c3[2] - a3[2])
+            bt, bnrm, bmid = best
+            # Möller–Trumbore (shader_tris.wgsl:161-202); e1/e2 precomputed
+            # at pack time (identical f32 subtracts — bit-equal to deriving
+            # them in-lane), consumed as scalar broadcasts.
+            e1 = (tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5])
+            e2 = (tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8])
             h = pm.cross3(d, e2)
             det = pm.dot3(e1, h)
             inv_det = 1.0 / det
-            s = pm.sub3(o, a3)
+            s = (o[0] - tri_ref[k, 0], o[1] - tri_ref[k, 1],
+                 o[2] - tri_ref[k, 2])
             u = inv_det * pm.dot3(s, h)
             q = pm.cross3(s, e1)
             v = inv_det * pm.dot3(d, q)
@@ -113,16 +116,11 @@ def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
             valid &= (u >= 0.0) & (u <= 1.0)
             valid &= (v >= 0.0) & (u + v <= 1.0)
             valid &= (t >= EPSILON_TRIS) & (t < bt)
-            sel = lambda new, old: jnp.where(valid, new, old)
-            return (sel(t, bt),
+            return (jnp.where(valid, t, bt),
                     pm.where3(valid, (zero + tri_ref[k, 9],
                                       zero + tri_ref[k, 10],
                                       zero + tri_ref[k, 11]), bnrm),
-                    pm.where3(valid, (zero + tri_ref[k, 12],
-                                      zero + tri_ref[k, 13],
-                                      zero + tri_ref[k, 14]), bal),
-                    sel(zero + tri_ref[k, 15], bpar),
-                    sel(zero + tri_ref[k, 16], bkind))
+                    jnp.where(valid, zero + tri_ref[k, 12], bmid))
 
         def scan_chunk(oi, best):
             # visit chunks approximately front-to-back (order precomputed
@@ -154,12 +152,27 @@ def _kernel(tri_ref, chunk_ref, order_ref, cam_ref, time_ref, out_ref, *,
 
             return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
 
-        best0 = (zero + FLT_MAX, (zero, zero, zero), (zero, zero, zero),
-                 zero, zero)
-        bt, bnrm, bal, bpar, bkind = jax.lax.fori_loop(
+        best0 = (zero + FLT_MAX, (zero, zero, zero), zero)
+        bt, bnrm, bmid = jax.lax.fori_loop(
             0, n_chunks, scan_chunk, best0)
 
         hit = (active > 0) & (bt != FLT_MAX)
+
+        # material attributes resolved ONCE per bounce from the winning
+        # mat id (an unrolled select chain over the scene's materials) —
+        # the per-triangle scan only tracks (t, normal, mat_id).  Miss
+        # lanes resolve to material 0; their scatter output is discarded
+        # by the `hit` mask below.
+        bal = (zero, zero, zero)
+        bpar = zero
+        bkind = zero
+        for j in range(n_mats):
+            match = bmid == jnp.float32(j)
+            bal = pm.where3(match, (zero + mat_ref[j, 0],
+                                    zero + mat_ref[j, 1],
+                                    zero + mat_ref[j, 2]), bal)
+            bpar = jnp.where(match, mat_ref[j, 3], bpar)
+            bkind = jnp.where(match, mat_ref[j, 4], bkind)
 
         # hit record (shader_tris.wgsl:197-201): flat normal, NO flip,
         # inverted front_face convention.
@@ -217,39 +230,49 @@ def _morton_order(centroids):
 
 
 def pack_tri_table(scene, chunk: int = CHUNK):
-    """Resolve per-triangle materials and build the (m_pad, 17) VMEM table
-    (Morton-clustered order) plus the (n_chunks, 6) chunk-AABB SMEM table."""
+    """Build the (m_pad, 13) VMEM triangle table (Morton-clustered order,
+    precomputed edges, per-triangle mat id), the (K, 5) SMEM material table
+    [albedo rgb, param, kind], and the (n_chunks, 6) chunk-AABB SMEM table."""
     m = scene.m
-    mid = jnp.clip(scene.mat_id, 0, scene.mat_albedo.shape[0] - 1)
-    tab = jnp.concatenate([
-        scene.a, scene.b, scene.c, scene.normal,
-        scene.mat_albedo[mid],
-        scene.mat_param[mid][:, None],
-        scene.mat_kind[mid].astype(jnp.float32)[:, None],
-    ], axis=1).astype(jnp.float32)                      # (m, 17)
-
     order = _morton_order((scene.a + scene.b + scene.c) / 3.0)
-    tab = tab[order]
+    a = scene.a[order].astype(jnp.float32)
+    b = scene.b[order].astype(jnp.float32)
+    c = scene.c[order].astype(jnp.float32)
+    mid = jnp.clip(scene.mat_id, 0, scene.mat_albedo.shape[0] - 1)[order]
+    tab = jnp.concatenate([
+        a, b - a, c - a, scene.normal[order].astype(jnp.float32),
+        mid.astype(jnp.float32)[:, None],
+    ], axis=1)                                          # (m, 13)
+    mats = jnp.concatenate([
+        scene.mat_albedo.astype(jnp.float32),
+        scene.mat_param.astype(jnp.float32)[:, None],
+        scene.mat_kind.astype(jnp.float32)[:, None],
+    ], axis=1)                                          # (K, 5)
 
-    # zero-pad to a chunk multiple; padding rows are degenerate (det == 0)
+    # zero-pad to a chunk multiple; padding rows are degenerate (e1=e2=0 so
+    # det == 0 rejects them)
     m_pad = -(-m // chunk) * chunk
     if m_pad != m:
         tab = jnp.concatenate(
             [tab, jnp.zeros((m_pad - m, TRI_COLS), jnp.float32)])
 
-    # chunk AABBs over the clustered order (vertex min/max per chunk);
-    # padding chunks would be empty — m_pad is an exact multiple so every
-    # chunk holds >= 1 real triangle except possibly the last, whose box
-    # only shrinks
-    verts = tab[:, 0:9].reshape(m_pad, 3, 3)
-    pad_mask = (jnp.arange(m_pad) >= m)[:, None, None]
+    # chunk AABBs over the clustered order (vertex min/max per chunk, from
+    # the ordered vertices — the table itself only holds edges); padding
+    # chunks would be empty — m_pad is an exact multiple so every chunk
+    # holds >= 1 real triangle except possibly the last, whose box only
+    # shrinks
+    verts = jnp.stack([a, b, c], axis=1)                # (m, 3, 3)
     big = jnp.float32(3.0e38)
-    vmin = jnp.where(pad_mask, big, verts).reshape(-1, chunk, 3, 3).min(
-        axis=(1, 2))
-    vmax = jnp.where(pad_mask, -big, verts).reshape(-1, chunk, 3, 3).max(
-        axis=(1, 2))
+    if m_pad != m:
+        pad = jnp.zeros((m_pad - m, 3, 3), jnp.float32)
+        verts_min = jnp.concatenate([verts, pad + big])
+        verts_max = jnp.concatenate([verts, pad - big])
+    else:
+        verts_min = verts_max = verts
+    vmin = verts_min.reshape(-1, chunk, 3, 3).min(axis=(1, 2))
+    vmax = verts_max.reshape(-1, chunk, 3, 3).max(axis=(1, 2))
     chunks = jnp.concatenate([vmin, vmax], axis=1).astype(jnp.float32)
-    return tab, chunks, m_pad, chunks.shape[0]
+    return tab, mats, chunks, m_pad, chunks.shape[0]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -263,7 +286,7 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       has_metal: bool = True, has_dielectric: bool = True,
                       interpret: bool = False):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
-    tab, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
     # approximate front-to-back chunk order from the camera eye (closest
     # chunk-AABB centroid first); ties/order only affect pruning, not the
     # closest-hit result (strict t < best)
@@ -273,7 +296,8 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
     order = jnp.argsort(dist).astype(jnp.int32)[:, None]   # (n_chunks, 1)
     grid = (height_pad // th, width_pad // tw)
     kernel = functools.partial(
-        _kernel, m=m, n_chunks=n_chunks, chunk=chunk, height=height,
+        _kernel, m=m, n_chunks=n_chunks, chunk=chunk,
+        n_mats=mats.shape[0], height=height,
         width=width, th=th,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
@@ -285,6 +309,7 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # material table
             pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
@@ -293,4 +318,4 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         out_specs=pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tab, chunks, order, cam_row, time)
+    )(tab, mats, chunks, order, cam_row, time)
