@@ -33,7 +33,10 @@ def main(argv=None) -> int:
                    choices=["suzanne", "sphere_simple", "lucy", "dragon",
                             "perf"])
     p.add_argument("--size", default="512x512")
-    p.add_argument("--frames", type=int, default=4)
+    # 16 frames per compiled call: the axon tunnel adds ~50-70 ms of
+    # per-dispatch latency, so a small batch under-reports sustained
+    # throughput (render_frames scans all frames inside ONE call)
+    p.add_argument("--frames", type=int, default=16)
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--backend", default="auto",
                    help="auto|jax|pallas (auto: pallas on TPU, jax elsewhere)")

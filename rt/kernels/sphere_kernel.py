@@ -68,6 +68,13 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
     def _bounce_body(carry):
         state, o, d, atten, active = carry
 
+        # ray-constant quadratic terms hoisted out of the sphere loop (d is
+        # fixed within a bounce); the 2x/4x multiples are exact exponent
+        # shifts, so disc and t round identically to the in-loop form
+        a = pm.dot3(d, d)
+        two_a = 2.0 * a
+        four_a = 4.0 * a
+
         # ---- closest-hit scan over the sphere table ----------------------
         def scan_sphere(si, best):
             bt, bc, br, bal, bpar, bkind = best
@@ -75,12 +82,11 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
                  zero + sph_ref[si, 2])
             r = sph_ref[si, 3]
             oc = pm.sub3(o, c)
-            a = pm.dot3(d, d)
             b = 2.0 * pm.dot3(oc, d)
             cc = pm.dot3(oc, oc) - r * r
-            disc = b * b - 4.0 * a * cc
+            disc = b * b - four_a * cc
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t = (-b - sq) / (2.0 * a)
+            t = (-b - sq) / two_a
             t = jnp.where(disc < 0.0, jnp.float32(-1.0), t)
             better = (t > 0.0) & (t < bt)
             sel = lambda new, old: jnp.where(better, new, old)
