@@ -50,7 +50,11 @@ class RenderConfig:
         incident direction before reflecting (shader_sphere.wgsl:180); the
         tris shader does not (shader_tris.wgsl:230).
     backend      — "jax" (pure-JAX oracle, runs anywhere) or "pallas"
-                   (fused TPU kernels).
+                   (TPU kernels: fused whole-frame kernel for spheres,
+                   wavefront per-bounce kernels with coherence-sorted ray
+                   streams for triangle scenes).  "pallas_mono" forces the
+                   single-launch triangle kernel (A/B baseline);
+                   "pallas_wave" is an alias of "pallas".
     """
 
     width: int = 512

@@ -75,18 +75,35 @@ def render_color(scene, camera, config: RenderConfig, time,
             th=th, tw=tw, has_metal=has_metal,
             has_dielectric=has_dielectric, interpret=interpret)
     elif isinstance(scene, TriangleScene):
-        from rt.kernels.tris_kernel import render_color_tris
-        color = render_color_tris(
-            scene, cam_row, time_arr, height=h, width=w,
-            height_pad=hp, width_pad=wp,
-            bounces=config.bounces,
-            normalize_defocus_dir=config.normalize_defocus_dir,
-            normalize_reflect_in=config.normalize_reflect_in,
-            # chunk=32 measured best on-chip for Suzanne (8.6 vs 8.0 fps
-            # at 128) — finer culling granularity wins until the MXU
-            # intersection path lands
-            th=th, tw=tw, chunk=32, has_metal=has_metal,
-            has_dielectric=has_dielectric, interpret=interpret)
+        # The wavefront backend (per-bounce kernels + coherence-sorted ray
+        # streams) measured ~2.5x the monolithic kernel's compute on
+        # Suzanne (PERF.md) — it is the default triangle path; force the
+        # single-launch kernel with backend="pallas_mono".
+        if config.backend == "pallas_mono":
+            from rt.kernels.tris_kernel import render_color_tris
+            color = render_color_tris(
+                scene, cam_row, time_arr, height=h, width=w,
+                height_pad=hp, width_pad=wp,
+                bounces=config.bounces,
+                normalize_defocus_dir=config.normalize_defocus_dir,
+                normalize_reflect_in=config.normalize_reflect_in,
+                th=th, tw=tw, chunk=32, has_metal=has_metal,
+                has_dielectric=has_dielectric, interpret=interpret)
+        else:
+            from rt.kernels.tris_kernel import render_color_tris_wave
+            # th=32 / chunk=32 / 8-bit origin-major key measured best
+            # on-chip (55.6 ms/frame vs 59-69 for neighbors — PERF.md)
+            thw = min(32, _round_up(h, 8))
+            hpw = _round_up(h, thw)
+            color = render_color_tris_wave(
+                scene, cam_row, time_arr, height=h, width=w,
+                height_pad=hpw, width_pad=wp,
+                bounces=config.bounces,
+                normalize_defocus_dir=config.normalize_defocus_dir,
+                normalize_reflect_in=config.normalize_reflect_in,
+                th=thw, tw=tw, chunk=32, has_metal=has_metal,
+                has_dielectric=has_dielectric, interpret=interpret)
+            hp = hpw
     else:
         raise TypeError(f"unknown scene type {type(scene)}")
 

@@ -56,15 +56,9 @@ def _fmax(a, b):
     return jnp.where(jnp.isnan(a) | (b > a), b, a)
 
 
-def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
-            out_ref, *,
-            m: int, n_chunks: int, chunk: int, n_mats: int, height: int,
-            width: int,
-            th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
-            normalize_reflect_in: bool, has_metal: bool = True,
-            has_dielectric: bool = True):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+def _tile_rays(cam_ref, time_ref, ti, tj, *, th: int, tw: int, height: int,
+               width: int, normalize_defocus_dir: bool):
+    """Per-tile primary-ray generation (seed, AA jitter, make_ray)."""
     y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
     x_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
     x_f = x_i.astype(jnp.float32)
@@ -78,122 +72,149 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
     state, o, d4 = tc.generate_rays(
         cam, x_f, y_f, x_u, y_u, height=height, width=width, time=time,
         normalize_defocus_dir=normalize_defocus_dir)
-    d = (d4[0], d4[1], d4[2])
-    primary_dy = d4[1]
+    return state, o, (d4[0], d4[1], d4[2]), d4[1]
+
+
+def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
+                  chunk: int, n_chunks: int, n_mats: int,
+                  normalize_reflect_in: bool, has_metal: bool,
+                  has_dielectric: bool):
+    """One path-trace bounce over a tile of rays: front-to-back chunk-culled
+    closest-hit scan, once-per-bounce material resolve, scatter.  Shared by
+    the monolithic whole-frame kernel and the wavefront per-bounce kernel —
+    identical arithmetic, so the two backends agree per-ray."""
+    state, o, d, atten, active = carry
+    inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+
+    def scan_tri(k, best):
+        bt, bnrm, bmid = best
+        # Möller–Trumbore (shader_tris.wgsl:161-202); e1/e2 precomputed
+        # at pack time (identical f32 subtracts — bit-equal to deriving
+        # them in-lane), consumed as scalar broadcasts.
+        e1 = (tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5])
+        e2 = (tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8])
+        h = pm.cross3(d, e2)
+        det = pm.dot3(e1, h)
+        inv_det = 1.0 / det
+        s = (o[0] - tri_ref[k, 0], o[1] - tri_ref[k, 1],
+             o[2] - tri_ref[k, 2])
+        u = inv_det * pm.dot3(s, h)
+        q = pm.cross3(s, e1)
+        v = inv_det * pm.dot3(d, q)
+        t = inv_det * pm.dot3(e2, q)
+        # NOTE: folding the u/v window into a min-compare chain measured
+        # ~12% SLOWER on-chip (1.6e7 vs 1.86e7 seg/s) — Mosaic issues
+        # compare+and cheaper than the serialized minimum chain.  Keep
+        # the comparison chain.
+        valid = (jnp.abs(det) >= EPSILON_TRIS)
+        valid &= (u >= 0.0) & (u <= 1.0)
+        valid &= (v >= 0.0) & (u + v <= 1.0)
+        valid &= (t >= EPSILON_TRIS) & (t < bt)
+        return (jnp.where(valid, t, bt),
+                pm.where3(valid, (zero + tri_ref[k, 9],
+                                  zero + tri_ref[k, 10],
+                                  zero + tri_ref[k, 11]), bnrm),
+                jnp.where(valid, zero + tri_ref[k, 12], bmid))
+
+    def scan_chunk(oi, best):
+        # visit chunks approximately front-to-back (order precomputed
+        # from the camera eye) so the `tmin < best_t` rejection prunes
+        ci = order_ref[oi, 0]
+        # slab test of the chunk AABB against every ray in the tile
+        # (shader_tris.wgsl:150-159 semantics: WGSL min/max drop NaNs)
+        t0x = (chunk_ref[ci, 0] - o[0]) * inv_d[0]
+        t1x = (chunk_ref[ci, 3] - o[0]) * inv_d[0]
+        t0y = (chunk_ref[ci, 1] - o[1]) * inv_d[1]
+        t1y = (chunk_ref[ci, 4] - o[1]) * inv_d[1]
+        t0z = (chunk_ref[ci, 2] - o[2]) * inv_d[2]
+        t1z = (chunk_ref[ci, 5] - o[2]) * inv_d[2]
+        tmin = _fmax(_fmax(_fmin(t0x, t1x), _fmin(t0y, t1y)),
+                     _fmin(t0z, t1z))
+        tmax = _fmin(_fmin(_fmax(t0x, t1x), _fmax(t0y, t1y)),
+                     _fmax(t0z, t1z))
+        # also require the chunk to be nearer than the current best
+        # (conservative: entry distance vs per-ray best t)
+        enter = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[0])
+        live = (active > 0) & enter
+        lo = ci * chunk
+
+        def do(best):
+            # static trip count; the table is zero-padded to a chunk
+            # multiple, so padding triangles are degenerate (det == 0)
+            return jax.lax.fori_loop(
+                0, chunk, lambda kk, b: scan_tri(lo + kk, b), best)
+
+        return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
+
+    best0 = (zero + FLT_MAX, (zero, zero, zero), zero)
+    bt, bnrm, bmid = jax.lax.fori_loop(
+        0, n_chunks, scan_chunk, best0)
+
+    hit = (active > 0) & (bt != FLT_MAX)
+
+    # material attributes resolved ONCE per bounce from the winning
+    # mat id (an unrolled select chain over the scene's materials) —
+    # the per-triangle scan only tracks (t, normal, mat_id).  Miss
+    # lanes resolve to material 0; their scatter output is discarded
+    # by the `hit` mask below.
+    bal = (zero, zero, zero)
+    bpar = zero
+    bkind = zero
+    for j in range(n_mats):
+        match = bmid == jnp.float32(j)
+        bal = pm.where3(match, (zero + mat_ref[j, 0],
+                                zero + mat_ref[j, 1],
+                                zero + mat_ref[j, 2]), bal)
+        bpar = jnp.where(match, mat_ref[j, 3], bpar)
+        bkind = jnp.where(match, mat_ref[j, 4], bkind)
+
+    # hit record (shader_tris.wgsl:197-201): flat normal, NO flip,
+    # inverted front_face convention.
+    point = pm.add3(o, pm.scale3(d, bt))
+    front_face = pm.dot3(bnrm, d) > 0.0
+    kind_i = bkind.astype(jnp.int32)
+
+    ns, nd = tc.scatter(state, d, point, bnrm, front_face, bal, bpar,
+                        kind_i, normalize_reflect_in=normalize_reflect_in,
+                        has_metal=has_metal,
+                        has_dielectric=has_dielectric)
+
+    state = jnp.where(hit, ns, state)
+    o = pm.where3(hit, point, o)
+    d = pm.where3(hit, nd, d)
+    atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
+    return state, o, d, atten, hit.astype(jnp.int32)
+
+
+def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
+            out_ref, *,
+            m: int, n_chunks: int, chunk: int, n_mats: int, height: int,
+            width: int,
+            th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
+            normalize_reflect_in: bool, has_metal: bool = True,
+            has_dielectric: bool = True):
+    """Monolithic whole-frame kernel: raygen + all bounces in one launch."""
+    state, o, d, primary_dy = _tile_rays(
+        cam_ref, time_ref, pl.program_id(0), pl.program_id(1), th=th, tw=tw,
+        height=height, width=width,
+        normalize_defocus_dir=normalize_defocus_dir)
 
     zero = jnp.zeros((th, tw), jnp.float32)
     one = zero + 1.0
     atten = (one, one, one)
     active = jnp.ones((th, tw), jnp.int32)
 
+    trace1 = functools.partial(
+        _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
+        chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric)
+
     def bounce(_, carry):
         # whole-tile early exit: once every lane has escaped to the sky the
         # remaining bounces are no-ops — skip the chunk scans entirely
-        return jax.lax.cond(jnp.any(carry[4] > 0), _bounce_body,
-                            lambda c: c, carry)
-
-    def _bounce_body(carry):
-        state, o, d, atten, active = carry
-        inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
-
-        def scan_tri(k, best):
-            bt, bnrm, bmid = best
-            # Möller–Trumbore (shader_tris.wgsl:161-202); e1/e2 precomputed
-            # at pack time (identical f32 subtracts — bit-equal to deriving
-            # them in-lane), consumed as scalar broadcasts.
-            e1 = (tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5])
-            e2 = (tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8])
-            h = pm.cross3(d, e2)
-            det = pm.dot3(e1, h)
-            inv_det = 1.0 / det
-            s = (o[0] - tri_ref[k, 0], o[1] - tri_ref[k, 1],
-                 o[2] - tri_ref[k, 2])
-            u = inv_det * pm.dot3(s, h)
-            q = pm.cross3(s, e1)
-            v = inv_det * pm.dot3(d, q)
-            t = inv_det * pm.dot3(e2, q)
-            # NOTE: folding the u/v window into a min-compare chain measured
-            # ~12% SLOWER on-chip (1.6e7 vs 1.86e7 seg/s) — Mosaic issues
-            # compare+and cheaper than the serialized minimum chain.  Keep
-            # the comparison chain.
-            valid = (jnp.abs(det) >= EPSILON_TRIS)
-            valid &= (u >= 0.0) & (u <= 1.0)
-            valid &= (v >= 0.0) & (u + v <= 1.0)
-            valid &= (t >= EPSILON_TRIS) & (t < bt)
-            return (jnp.where(valid, t, bt),
-                    pm.where3(valid, (zero + tri_ref[k, 9],
-                                      zero + tri_ref[k, 10],
-                                      zero + tri_ref[k, 11]), bnrm),
-                    jnp.where(valid, zero + tri_ref[k, 12], bmid))
-
-        def scan_chunk(oi, best):
-            # visit chunks approximately front-to-back (order precomputed
-            # from the camera eye) so the `tmin < best_t` rejection prunes
-            ci = order_ref[oi, 0]
-            # slab test of the chunk AABB against every ray in the tile
-            # (shader_tris.wgsl:150-159 semantics: WGSL min/max drop NaNs)
-            t0x = (chunk_ref[ci, 0] - o[0]) * inv_d[0]
-            t1x = (chunk_ref[ci, 3] - o[0]) * inv_d[0]
-            t0y = (chunk_ref[ci, 1] - o[1]) * inv_d[1]
-            t1y = (chunk_ref[ci, 4] - o[1]) * inv_d[1]
-            t0z = (chunk_ref[ci, 2] - o[2]) * inv_d[2]
-            t1z = (chunk_ref[ci, 5] - o[2]) * inv_d[2]
-            tmin = _fmax(_fmax(_fmin(t0x, t1x), _fmin(t0y, t1y)),
-                         _fmin(t0z, t1z))
-            tmax = _fmin(_fmin(_fmax(t0x, t1x), _fmax(t0y, t1y)),
-                         _fmax(t0z, t1z))
-            # also require the chunk to be nearer than the current best
-            # (conservative: entry distance vs per-ray best t)
-            enter = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[0])
-            live = (active > 0) & enter
-            lo = ci * chunk
-
-            def do(best):
-                # static trip count; the table is zero-padded to a chunk
-                # multiple, so padding triangles are degenerate (det == 0)
-                return jax.lax.fori_loop(
-                    0, chunk, lambda kk, b: scan_tri(lo + kk, b), best)
-
-            return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
-
-        best0 = (zero + FLT_MAX, (zero, zero, zero), zero)
-        bt, bnrm, bmid = jax.lax.fori_loop(
-            0, n_chunks, scan_chunk, best0)
-
-        hit = (active > 0) & (bt != FLT_MAX)
-
-        # material attributes resolved ONCE per bounce from the winning
-        # mat id (an unrolled select chain over the scene's materials) —
-        # the per-triangle scan only tracks (t, normal, mat_id).  Miss
-        # lanes resolve to material 0; their scatter output is discarded
-        # by the `hit` mask below.
-        bal = (zero, zero, zero)
-        bpar = zero
-        bkind = zero
-        for j in range(n_mats):
-            match = bmid == jnp.float32(j)
-            bal = pm.where3(match, (zero + mat_ref[j, 0],
-                                    zero + mat_ref[j, 1],
-                                    zero + mat_ref[j, 2]), bal)
-            bpar = jnp.where(match, mat_ref[j, 3], bpar)
-            bkind = jnp.where(match, mat_ref[j, 4], bkind)
-
-        # hit record (shader_tris.wgsl:197-201): flat normal, NO flip,
-        # inverted front_face convention.
-        point = pm.add3(o, pm.scale3(d, bt))
-        front_face = pm.dot3(bnrm, d) > 0.0
-        kind_i = bkind.astype(jnp.int32)
-
-        ns, nd = tc.scatter(state, d, point, bnrm, front_face, bal, bpar,
-                            kind_i, normalize_reflect_in=normalize_reflect_in,
-                            has_metal=has_metal,
-                            has_dielectric=has_dielectric)
-
-        state = jnp.where(hit, ns, state)
-        o = pm.where3(hit, point, o)
-        d = pm.where3(hit, nd, d)
-        atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
-        return state, o, d, atten, hit.astype(jnp.int32)
+        return jax.lax.cond(jnp.any(carry[4] > 0), trace1, lambda c: c,
+                            carry)
 
     state, o, d, atten, active = jax.lax.fori_loop(
         0, bounces, bounce, (state, o, d, atten, active))
@@ -202,6 +223,15 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
     out_ref[0] = col[0]
     out_ref[1] = col[1]
     out_ref[2] = col[2]
+
+
+def _spread10(v):
+    """Spread the low 10 bits of u32 ``v`` out to every 3rd bit."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
 
 
 def _morton_order(centroids):
@@ -221,15 +251,8 @@ def _morton_order(centroids):
     span = jnp.maximum(c.max(axis=0) - lo, 1e-12)
     q = jnp.clip((c - lo) / span * 1023.0, 0, 1023).astype(jnp.uint32)
 
-    def spread(v):
-        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
-        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
-        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
-        v = (v | (v << 2)) & jnp.uint32(0x09249249)
-        return v
-
-    code = ((spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1)
-            | spread(q[:, 2]))
+    code = ((_spread10(q[:, 0]) << 2) | (_spread10(q[:, 1]) << 1)
+            | _spread10(q[:, 2]))
     return jnp.argsort(code, stable=True)
 
 
@@ -323,3 +346,211 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(tab, mats, chunks, order, cam_row, time)
+
+
+# ---------------------------------------------------------------------------
+# Wavefront backend: per-bounce kernels with XLA ray sorting in between.
+#
+# The monolithic kernel's tile-level chunk culling degrades after the first
+# bounce: a (th, tw) PIXEL tile's scattered rays union-touch nearly every
+# chunk (measured 81% live pre-Morton — PERF.md).  The wavefront backend
+# re-sorts the ray stream between bounces by (origin Morton code, direction
+# octant), so each tile holds spatially/directionally coherent rays whose
+# union frustum is tight and the slab test actually prunes.  Dead rays sort
+# to the end (key 0xFFFFFFFF) and their tiles skip the scan entirely —
+# bounce-level compaction for open scenes.
+#
+# Per-ray results are IDENTICAL to the monolithic kernel: the bounce body is
+# the same `_trace_bounce`, the global chunk visit order is the same, and
+# sorting only changes which tile a ray lands in (per-lane arithmetic is
+# order-independent); the final scatter restores pixel order.
+# ---------------------------------------------------------------------------
+
+
+def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
+                       time_ref, payf_ref, state_ref, active_ref, *,
+                       n_chunks: int, chunk: int, n_mats: int, height: int,
+                       width: int, th: int, tw: int,
+                       normalize_defocus_dir: bool,
+                       normalize_reflect_in: bool, has_metal: bool,
+                       has_dielectric: bool):
+    """Raygen fused with bounce 0 (primary rays are already coherent in
+    pixel order — no sort needed before the first bounce).  Outputs the ray
+    payload: payf = [o(3), d(3), atten(3), primary_dy] planes."""
+    state, o, d, primary_dy = _tile_rays(
+        cam_ref, time_ref, pl.program_id(0), pl.program_id(1), th=th, tw=tw,
+        height=height, width=width,
+        normalize_defocus_dir=normalize_defocus_dir)
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    one = zero + 1.0
+    carry = (state, o, d, (one, one, one), jnp.ones((th, tw), jnp.int32))
+    state, o, d, atten, active = _trace_bounce(
+        tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, chunk=chunk,
+        n_chunks=n_chunks, n_mats=n_mats,
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric)
+
+    for c in range(3):
+        payf_ref[c] = o[c]
+        payf_ref[3 + c] = d[c]
+        payf_ref[6 + c] = atten[c]
+    payf_ref[9] = primary_dy
+    state_ref[...] = state
+    active_ref[...] = active
+
+
+def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
+                        state_ref, active_ref, opayf_ref, ostate_ref,
+                        oactive_ref, *, n_chunks: int, chunk: int,
+                        n_mats: int, th: int, tw: int,
+                        normalize_reflect_in: bool, has_metal: bool,
+                        has_dielectric: bool):
+    """One bounce over a tile of (sorted) rays."""
+    zero = jnp.zeros((th, tw), jnp.float32)
+    active = active_ref[...]
+    carry = (state_ref[...],
+             (payf_ref[0], payf_ref[1], payf_ref[2]),
+             (payf_ref[3], payf_ref[4], payf_ref[5]),
+             (payf_ref[6], payf_ref[7], payf_ref[8]),
+             active)
+
+    trace1 = functools.partial(
+        _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
+        chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric)
+
+    # whole-tile skip: sorted dead rays cluster into all-dead tiles
+    state, o, d, atten, active = jax.lax.cond(
+        jnp.any(active > 0), trace1, lambda c: c, carry)
+
+    for c in range(3):
+        opayf_ref[c] = o[c]
+        opayf_ref[3 + c] = d[c]
+        opayf_ref[6 + c] = atten[c]
+    ostate_ref[...] = state
+    oactive_ref[...] = active
+
+
+def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
+                  dmajor: bool = False):
+    """u32 coherence key: origin Morton code (``bits``/axis over the scene
+    bounds) interleaved with the direction octant (low bits, or high bits
+    when ``dmajor``); dead rays get 0xFFFFFFFF so they cluster at the
+    stream's end and their tiles skip the scan."""
+    top = float((1 << bits) - 1)
+    q = [jnp.clip((o[c] - lo[c]) * inv_span[c] * top, 0.0,
+                  top).astype(jnp.uint32) for c in range(3)]
+    code = (_spread10(q[0]) << 2) | (_spread10(q[1]) << 1) | _spread10(q[2])
+    octant = ((d[0] < 0).astype(jnp.uint32) * 4
+              + (d[1] < 0).astype(jnp.uint32) * 2
+              + (d[2] < 0).astype(jnp.uint32))
+    if dmajor:
+        key = (octant << (3 * bits)) | code
+    else:
+        key = (code << 3) | octant
+    return jnp.where(active > 0, key, jnp.uint32(0xFFFFFFFF))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "height_pad", "width_pad", "bounces",
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
+    "has_metal", "has_dielectric", "interpret", "sort", "key_bits",
+    "key_dmajor"))
+def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
+                           height_pad: int, width_pad: int, bounces: int,
+                           normalize_defocus_dir: bool,
+                           normalize_reflect_in: bool,
+                           th: int = 8, tw: int = 256, chunk: int = CHUNK,
+                           has_metal: bool = True, has_dielectric: bool = True,
+                           interpret: bool = False, sort: bool = True,
+                           key_bits: int = 8, key_dmajor: bool = False):
+    """Planar (3, Hp, Wp) color for one frame — wavefront variant."""
+    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    eye = cam_row[0, 0:3]
+    centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
+    dist = jnp.sum((centroid - eye) ** 2, axis=1)
+    order = jnp.argsort(dist).astype(jnp.int32)[:, None]   # (n_chunks, 1)
+    n_mats = mats.shape[0]
+
+    common = dict(n_chunks=n_chunks, chunk=chunk, n_mats=n_mats,
+                  normalize_reflect_in=normalize_reflect_in,
+                  has_metal=has_metal, has_dielectric=has_dielectric)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    first = functools.partial(
+        _wave_first_kernel, height=height, width=width, th=th, tw=tw,
+        normalize_defocus_dir=normalize_defocus_dir, **common)
+    payf, state, active = pl.pallas_call(
+        first,
+        out_shape=(jax.ShapeDtypeStruct((10, height_pad, width_pad),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((height_pad, width_pad), jnp.uint32),
+                   jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32)),
+        grid=(height_pad // th, width_pad // tw),
+        in_specs=[vmem, smem, smem, smem, smem, smem],
+        out_specs=(pl.BlockSpec((10, th, tw), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(tab, mats, chunks, order, cam_row, time)
+
+    n = height_pad * width_pad
+    rows = n // tw
+    payf = payf.reshape(10, n)
+    pay, pdy = payf[0:9], payf[9]
+    state = state.reshape(n)
+    active = active.reshape(n)
+    pix = jnp.arange(n, dtype=jnp.int32)
+
+    # scene bounds for the sort key (from the chunk AABBs)
+    lo = jnp.min(chunks[:, 0:3], axis=0)
+    inv_span = 1.0 / jnp.maximum(jnp.max(chunks[:, 3:6], axis=0) - lo, 1e-30)
+
+    bounce = functools.partial(_wave_bounce_kernel, th=th, tw=tw, **common)
+    ray_specs = (pl.BlockSpec((9, th, tw), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((th, tw), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((th, tw), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM))
+    bounce_call = pl.pallas_call(
+        bounce,
+        out_shape=(jax.ShapeDtypeStruct((9, rows, tw), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, tw), jnp.uint32),
+                   jax.ShapeDtypeStruct((rows, tw), jnp.int32)),
+        grid=(rows // th,),
+        in_specs=[vmem, smem, smem, smem, *ray_specs],
+        out_specs=ray_specs,
+        interpret=interpret)
+
+    for _ in range(1, bounces):
+        if sort:
+            # ONE variadic sort moves the whole payload with the key —
+            # measured ~10x cheaper than argsort + per-array gathers
+            # (XLA TPU gathers at element granularity are the bottleneck)
+            key = _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
+                                bits=key_bits, dmajor=key_dmajor)
+            ops = jax.lax.sort(
+                (key, *(pay[i] for i in range(9)), state, active, pix, pdy),
+                num_keys=1)
+            pay = jnp.stack(ops[1:10])
+            state, active, pix, pdy = ops[10:14]
+        payp, state2, active2 = bounce_call(
+            tab, mats, chunks, order, pay.reshape(9, rows, tw),
+            state.reshape(rows, tw), active.reshape(rows, tw))
+        pay = payp.reshape(9, n)
+        state = state2.reshape(n)
+        active = active2.reshape(n)
+
+    # color = atten * sky(primary dy) (tc.sky_times_atten, elementwise)
+    atten = (pay[6], pay[7], pay[8])
+    col = tc.sky_times_atten(pdy, atten)
+    color = jnp.stack(col)                               # (3, n)
+    img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
+    return img.reshape(3, height_pad, width_pad)

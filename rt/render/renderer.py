@@ -73,7 +73,7 @@ def render_color(scene, camera, config: RenderConfig, time):
 def render_frame(scene, camera, state: RenderState, time,
                  config: RenderConfig) -> RenderState:
     """draw(): trace every pixel once and EMA-accumulate."""
-    if config.backend == "pallas":
+    if config.backend in ("pallas", "pallas_wave", "pallas_mono"):
         from rt.kernels import dispatch as kernel_dispatch
         color = kernel_dispatch.render_color(scene, camera, config, time)
     else:

@@ -64,6 +64,23 @@ def test_tris_kernel_suzanne_chunked():
     _compare(scenes.scene_suzanne(W, H), bounces=2)
 
 
+@pytest.mark.parametrize("builder", [scenes.scene_quad,
+                                     scenes.scene_suzanne])
+def test_wavefront_equals_monolithic(builder):
+    """The wavefront backend (per-bounce kernels + coherence-sorted ray
+    streams) must be BIT-IDENTICAL to the monolithic kernel: same bounce
+    body, same global chunk order — sorting only regroups rays into tiles
+    and the final scatter restores pixel order."""
+    sd = builder(64, 32)
+    t = jnp.uint32(1000)
+    cfg = dataclasses.replace(sd.config, bounces=3,
+                              backend="pallas_mono")
+    a = np.asarray(k_render(sd.scene, sd.camera, cfg, t, interpret=True))
+    cfg_w = dataclasses.replace(cfg, backend="pallas_wave")
+    b = np.asarray(k_render(sd.scene, sd.camera, cfg_w, t, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_nonaligned_resolution_padding():
     """Odd sizes pad to tile multiples and crop back."""
     sd = scenes.test_scene_metal(60, 28)
