@@ -7,9 +7,9 @@ flow + random node loads — exactly what a VPU cannot do), the kernel uses
 the SAME spatially-sorted triangle order the BVH build produces
 (rt/scene/bvh.py — BFS median splits) but consumes it as a *wide* hierarchy:
 
-- triangles are scanned in CHUNKS of 128 consecutive leaves; each chunk is a
-  complete subtree of the implicit heap, so its AABB is one precomputed BVH
-  node — chunk AABBs live in SMEM;
+- triangles are scanned in CHUNKS of consecutive Morton-clustered leaves;
+  per-chunk AABBs live in VMEM (SMEM cannot hold large scenes — dragon has
+  1563 chunks of 32);
 - per chunk the whole pixel tile does one slab test (planes, ~25 VPU ops);
   if NO ray in the tile enters the chunk the entire 128-triangle scan is
   skipped via a scalar branch (``lax.cond``) — tile-coherent culling, the
@@ -78,7 +78,7 @@ def _tile_rays(cam_ref, time_ref, ti, tj, *, th: int, tw: int, height: int,
 def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                   chunk: int, n_chunks: int, n_mats: int,
                   normalize_reflect_in: bool, has_metal: bool,
-                  has_dielectric: bool):
+                  has_dielectric: bool, order_base=0):
     """One path-trace bounce over a tile of rays: front-to-back chunk-culled
     closest-hit scan, once-per-bounce material resolve, scatter.  Shared by
     the monolithic whole-frame kernel and the wavefront per-bounce kernel —
@@ -117,9 +117,14 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                 jnp.where(valid, zero + tri_ref[k, 12], bmid))
 
     def scan_chunk(oi, best):
-        # visit chunks approximately front-to-back (order precomputed
-        # from the camera eye) so the `tmin < best_t` rejection prunes
-        ci = order_ref[oi, 0]
+        # visit chunks approximately front-to-back (order precomputed from
+        # the camera eye, or per tile from the tile's mean ray origin in
+        # the wavefront path) so the `tmin < best_t` rejection prunes.
+        # The order table is a flattened (rows*n_chunks, 1) column so every
+        # read is (dynamic row, static column) — the only scalar-from-VMEM
+        # access pattern Mosaic can lower (a dynamic column index fails
+        # with "cannot statically prove index is a multiple of 128").
+        ci = order_ref[order_base + oi, 0]
         # slab test of the chunk AABB against every ray in the tile
         # (shader_tris.wgsl:150-159 semantics: WGSL min/max drop NaNs)
         t0x = (chunk_ref[ci, 0] - o[0]) * inv_d[0]
@@ -337,8 +342,9 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),   # material table
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk AABBs
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk visit order
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk AABBs (VMEM:
+            #   SMEM cannot hold large scenes — dragon has 1563 chunks)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
             pl.BlockSpec(memory_space=pltpu.SMEM),   # time
         ],
@@ -419,7 +425,8 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
         _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric)
+        has_dielectric=has_dielectric,
+        order_base=pl.program_id(0) * n_chunks)
 
     # whole-tile skip: sorted dead rays cluster into all-dead tiles
     state, o, d, atten, active = jax.lax.cond(
@@ -490,7 +497,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                    jax.ShapeDtypeStruct((height_pad, width_pad), jnp.uint32),
                    jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32)),
         grid=(height_pad // th, width_pad // tw),
-        in_specs=[vmem, smem, smem, smem, smem, smem],
+        in_specs=[vmem, smem, vmem, vmem, smem, smem],
         out_specs=(pl.BlockSpec((10, th, tw), lambda i, j: (0, i, j),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((th, tw), lambda i, j: (i, j),
@@ -512,6 +519,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     lo = jnp.min(chunks[:, 0:3], axis=0)
     inv_span = 1.0 / jnp.maximum(jnp.max(chunks[:, 3:6], axis=0) - lo, 1e-30)
 
+    n_tiles = rows // th
     bounce = functools.partial(_wave_bounce_kernel, th=th, tw=tw, **common)
     ray_specs = (pl.BlockSpec((9, th, tw), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM),
@@ -525,7 +533,12 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                    jax.ShapeDtypeStruct((rows, tw), jnp.uint32),
                    jax.ShapeDtypeStruct((rows, tw), jnp.int32)),
         grid=(rows // th,),
-        in_specs=[vmem, smem, smem, smem, *ray_specs],
+        in_specs=[vmem, smem, vmem,
+                  # per-TILE chunk visit order: flattened (n_tiles*n_chunks,
+                  # 1) column in VMEM; each grid step reads its own segment
+                  # at order_base = program_id * n_chunks
+                  vmem,
+                  *ray_specs],
         out_specs=ray_specs,
         interpret=interpret)
 
@@ -541,8 +554,18 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                 num_keys=1)
             pay = jnp.stack(ops[1:10])
             state, active, pix, pdy = ops[10:14]
+        # per-tile front-to-back chunk order from each tile's mean ray
+        # origin — secondary tiles sit anywhere in the scene, so the
+        # camera-based global order would defeat the `tmin < best_t`
+        # rejection.  Visit order never changes the closest hit (strict
+        # t < best), only how early far chunks get rejected.
+        mo = pay[0:3].reshape(3, n_tiles, th * tw).mean(axis=2)
+        tdist = jnp.sum((centroid[None, :, :] - mo.T[:, None, :]) ** 2,
+                        axis=2)                          # (n_tiles, n_chunks)
+        tile_order = jnp.argsort(tdist, axis=1).astype(
+            jnp.int32).reshape(-1, 1)                # (n_tiles*n_chunks, 1)
         payp, state2, active2 = bounce_call(
-            tab, mats, chunks, order, pay.reshape(9, rows, tw),
+            tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
             state.reshape(rows, tw), active.reshape(rows, tw))
         pay = payp.reshape(9, n)
         state = state2.reshape(n)

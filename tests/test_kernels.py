@@ -81,6 +81,20 @@ def test_wavefront_equals_monolithic(builder):
     np.testing.assert_array_equal(a, b)
 
 
+def test_wavefront_nonaligned_resolution():
+    """Wave path: odd sizes pad to (32, 256) stream tiles and crop back —
+    bit-identical to the monolithic kernel (the oracle comparison keeps its
+    usual FMA-flip tolerance via the golden-metric tests)."""
+    sd = scenes.scene_cube(60, 28)
+    t = jnp.uint32(1000)
+    cfg_m = dataclasses.replace(sd.config, bounces=3, backend="pallas_mono")
+    a = np.asarray(k_render(sd.scene, sd.camera, cfg_m, t, interpret=True))
+    cfg_w = dataclasses.replace(cfg_m, backend="pallas")
+    b = np.asarray(k_render(sd.scene, sd.camera, cfg_w, t, interpret=True))
+    assert b.shape == (28, 60, 3)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_nonaligned_resolution_padding():
     """Odd sizes pad to tile multiples and crop back."""
     sd = scenes.test_scene_metal(60, 28)
