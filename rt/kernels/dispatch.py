@@ -90,20 +90,8 @@ def render_color(scene, camera, config: RenderConfig, time,
                 th=th, tw=tw, chunk=32, has_metal=has_metal,
                 has_dielectric=has_dielectric, interpret=interpret)
         else:
-            from rt.kernels.tris_kernel import render_color_tris_wave
-            # th=32 / chunk=32 / 8-bit origin-major key measured best
-            # on-chip (55.6 ms/frame vs 59-69 for neighbors — PERF.md)
-            thw = min(32, _round_up(h, 8))
-            hpw = _round_up(h, thw)
-            color = render_color_tris_wave(
-                scene, cam_row, time_arr, height=h, width=w,
-                height_pad=hpw, width_pad=wp,
-                bounces=config.bounces,
-                normalize_defocus_dir=config.normalize_defocus_dir,
-                normalize_reflect_in=config.normalize_reflect_in,
-                th=thw, tw=tw, chunk=32, has_metal=has_metal,
-                has_dielectric=has_dielectric, interpret=interpret)
-            hp = hpw
+            return render_color_frames(scene, camera, config, time_arr,
+                                       interpret=interpret)[0]
     else:
         raise TypeError(f"unknown scene type {type(scene)}")
 
@@ -116,3 +104,43 @@ def render_color(scene, camera, config: RenderConfig, time,
         raise NotImplementedError("pallas backend: samples_per_frame must be "
                                   "1 (the reference's SAMPLE_PER_FRAME)")
     return color
+
+
+def render_color_frames(scene, camera, config: RenderConfig, times,
+                        interpret: bool = False):
+    """(F, H, W, 3) colors for F frames of a TriangleScene in ONE wavefront
+    stream (times: (F,) or (F, 1) u32).  Per-frame results are bit-identical
+    to F single-frame calls; batching tightens sort coherence (adjacent
+    frames' rays differ only by AA/defocus jitter) and amortizes per-bounce
+    fixed costs — the batched analog of the reference's per-frame redraw
+    loop (src/app.rs:92-102)."""
+    from rt.kernels.tris_kernel import render_color_tris_wave
+    from rt.config import MAT_DIELECTRIC, MAT_METAL
+
+    h, w = config.height, config.width
+    # th=32 / chunk=32 / 8-bit origin-major key measured best on-chip
+    # (55.6 ms/frame vs 59-69 for neighbors — PERF.md)
+    th = min(32, _round_up(h, 8))
+    tw = min(256, _round_up(w, 128))
+    hp, wp = _round_up(h, th), _round_up(w, tw)
+
+    if config.samples_per_frame != 1:
+        raise NotImplementedError("pallas backend: samples_per_frame must be "
+                                  "1 (the reference's SAMPLE_PER_FRAME)")
+
+    cam_row = pack_camera(camera)
+    time_arr = jnp.asarray(times, jnp.uint32).reshape(-1, 1)
+    colors = render_color_tris_wave(
+        scene, cam_row, time_arr, height=h, width=w,
+        height_pad=hp, width_pad=wp,
+        bounces=config.bounces,
+        normalize_defocus_dir=config.normalize_defocus_dir,
+        normalize_reflect_in=config.normalize_reflect_in,
+        th=th, tw=tw, chunk=32,
+        has_metal=MAT_METAL in config.mat_kinds,
+        has_dielectric=MAT_DIELECTRIC in config.mat_kinds,
+        interpret=interpret)                       # (F, 3, Hp, Wp)
+    colors = jnp.transpose(colors, (0, 2, 3, 1))   # (F, Hp, Wp, 3)
+    if (hp, wp) != (h, w):
+        colors = colors[:, :h, :w]
+    return colors

@@ -56,7 +56,7 @@ def _fmax(a, b):
     return jnp.where(jnp.isnan(a) | (b > a), b, a)
 
 
-def _tile_rays(cam_ref, time_ref, ti, tj, *, th: int, tw: int, height: int,
+def _tile_rays(cam_ref, time, ti, tj, *, th: int, tw: int, height: int,
                width: int, normalize_defocus_dir: bool):
     """Per-tile primary-ray generation (seed, AA jitter, make_ray)."""
     y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
@@ -67,7 +67,6 @@ def _tile_rays(cam_ref, time_ref, ti, tj, *, th: int, tw: int, height: int,
     y_u = y_i.astype(jnp.uint32)
 
     cam = lambda c: cam_ref[0, c]
-    time = time_ref[0, 0]
 
     state, o, d4 = tc.generate_rays(
         cam, x_f, y_f, x_u, y_u, height=height, width=width, time=time,
@@ -200,8 +199,8 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
             has_dielectric: bool = True):
     """Monolithic whole-frame kernel: raygen + all bounces in one launch."""
     state, o, d, primary_dy = _tile_rays(
-        cam_ref, time_ref, pl.program_id(0), pl.program_id(1), th=th, tw=tw,
-        height=height, width=width,
+        cam_ref, time_ref[0, 0], pl.program_id(0), pl.program_id(1), th=th,
+        tw=tw, height=height, width=width,
         normalize_defocus_dir=normalize_defocus_dir)
 
     zero = jnp.zeros((th, tw), jnp.float32)
@@ -382,10 +381,15 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
                        has_dielectric: bool):
     """Raygen fused with bounce 0 (primary rays are already coherent in
     pixel order — no sort needed before the first bounce).  Outputs the ray
-    payload: payf = [o(3), d(3), atten(3), primary_dy] planes."""
+    payload: payf = [o(3), d(3), atten(3), primary_dy] planes.
+
+    Grid is (n_frames, tile_rows, tile_cols): the wavefront stream batches
+    N frames' rays (time_ref holds one time uniform per frame), which
+    tightens sort coherence (same pixel region across frames) and amortizes
+    the per-bounce fixed costs over N frames."""
     state, o, d, primary_dy = _tile_rays(
-        cam_ref, time_ref, pl.program_id(0), pl.program_id(1), th=th, tw=tw,
-        height=height, width=width,
+        cam_ref, time_ref[pl.program_id(0), 0], pl.program_id(1),
+        pl.program_id(2), th=th, tw=tw, height=height, width=width,
         normalize_defocus_dir=normalize_defocus_dir)
 
     zero = jnp.zeros((th, tw), jnp.float32)
@@ -473,7 +477,11 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            has_metal: bool = True, has_dielectric: bool = True,
                            interpret: bool = False, sort: bool = True,
                            key_bits: int = 8, key_dmajor: bool = False):
-    """Planar (3, Hp, Wp) color for one frame — wavefront variant."""
+    """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
+
+    ``time`` is (F, 1) u32, one time uniform per frame; all F frames' rays
+    trace as ONE sorted stream (per-frame results are bit-identical to F
+    single-frame calls — rays never interact)."""
     tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
     eye = cam_row[0, 0:3]
     centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
@@ -487,27 +495,32 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    n_frames = time.shape[0]
+    nh = height_pad // th
     first = functools.partial(
         _wave_first_kernel, height=height, width=width, th=th, tw=tw,
         normalize_defocus_dir=normalize_defocus_dir, **common)
     payf, state, active = pl.pallas_call(
         first,
-        out_shape=(jax.ShapeDtypeStruct((10, height_pad, width_pad),
-                                        jnp.float32),
-                   jax.ShapeDtypeStruct((height_pad, width_pad), jnp.uint32),
-                   jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32)),
-        grid=(height_pad // th, width_pad // tw),
+        out_shape=(jax.ShapeDtypeStruct(
+                       (10, n_frames * height_pad, width_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((n_frames * height_pad, width_pad),
+                                        jnp.uint32),
+                   jax.ShapeDtypeStruct((n_frames * height_pad, width_pad),
+                                        jnp.int32)),
+        grid=(n_frames, nh, width_pad // tw),
         in_specs=[vmem, smem, vmem, vmem, smem, smem],
-        out_specs=(pl.BlockSpec((10, th, tw), lambda i, j: (0, i, j),
+        out_specs=(pl.BlockSpec((10, th, tw),
+                                lambda f, i, j: (0, f * nh + i, j),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(tab, mats, chunks, order, cam_row, time)
 
-    n = height_pad * width_pad
+    n = n_frames * height_pad * width_pad
     rows = n // tw
     payf = payf.reshape(10, n)
     pay, pdy = payf[0:9], payf[9]
@@ -576,4 +589,5 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     col = tc.sky_times_atten(pdy, atten)
     color = jnp.stack(col)                               # (3, n)
     img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
-    return img.reshape(3, height_pad, width_pad)
+    img = img.reshape(3, n_frames, height_pad, width_pad)
+    return jnp.moveaxis(img, 1, 0)                       # (F, 3, Hp, Wp)

@@ -95,6 +95,12 @@ def render_frames(scene, camera, state: RenderState, time0, time_step,
     time0 = jnp.asarray(time0, jnp.uint32)
     time_step = jnp.asarray(time_step, jnp.uint32)
 
+    # NOTE: batching F frames' rays into ONE wavefront stream
+    # (dispatch.render_color_frames) measured SLOWER than the per-frame
+    # scan (3.5e7 vs 5.2e7 seg/s at F=16): XLA's TPU sort is superlinear
+    # (0.8 -> 41 ms per 14-operand sort from 262K to 4.2M keys), which
+    # outruns the coherence/amortization gains.  PERF.md has the numbers.
+
     def step(state, i):
         t = time0 + i * time_step
         return render_frame(scene, camera, state, t, config), None

@@ -81,6 +81,23 @@ def test_wavefront_equals_monolithic(builder):
     np.testing.assert_array_equal(a, b)
 
 
+def test_framebatched_wave_equals_single_frames():
+    """F frames traced as ONE wavefront stream == F single-frame calls,
+    bitwise (rays never interact; the sort only regroups them)."""
+    from rt.kernels.dispatch import render_color_frames
+    sd = scenes.scene_cube(64, 32)
+    cfg = dataclasses.replace(sd.config, bounces=3, backend="pallas")
+    times = jnp.uint32(1000) + jnp.arange(3, dtype=jnp.uint32) * 10
+    batch = np.asarray(render_color_frames(sd.scene, sd.camera, cfg, times,
+                                           interpret=True))
+    assert batch.shape == (3, 32, 64, 3)
+    for i in range(3):
+        single = np.asarray(k_render(sd.scene, sd.camera, cfg,
+                                     jnp.uint32(1000 + 10 * i),
+                                     interpret=True))
+        np.testing.assert_array_equal(batch[i], single)
+
+
 def test_wavefront_nonaligned_resolution():
     """Wave path: odd sizes pad to (32, 256) stream tiles and crop back —
     bit-identical to the monolithic kernel (the oracle comparison keeps its
