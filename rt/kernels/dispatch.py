@@ -136,6 +136,9 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
         bounces=config.bounces,
         normalize_defocus_dir=config.normalize_defocus_dir,
         normalize_reflect_in=config.normalize_reflect_in,
+        # re-sort every 2 bounces: halves the sort + payload-roundtrip
+        # count for ~10% over per-bounce sorting (PERF.md)
+        sort_every=2,
         th=th, tw=tw, chunk=32,
         has_metal=MAT_METAL in config.mat_kinds,
         has_dielectric=MAT_DIELECTRIC in config.mat_kinds,

@@ -413,17 +413,18 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
 def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
                         state_ref, active_ref, opayf_ref, ostate_ref,
                         oactive_ref, *, n_chunks: int, chunk: int,
-                        n_mats: int, th: int, tw: int,
+                        n_mats: int, th: int, tw: int, n_bounces: int,
                         normalize_reflect_in: bool, has_metal: bool,
                         has_dielectric: bool):
-    """One bounce over a tile of (sorted) rays."""
+    """n_bounces bounces over a tile of (sorted) rays — fusing 2 bounces
+    per launch halves the sort + payload-roundtrip count at slightly
+    staler coherence for the second bounce."""
     zero = jnp.zeros((th, tw), jnp.float32)
-    active = active_ref[...]
     carry = (state_ref[...],
              (payf_ref[0], payf_ref[1], payf_ref[2]),
              (payf_ref[3], payf_ref[4], payf_ref[5]),
              (payf_ref[6], payf_ref[7], payf_ref[8]),
-             active)
+             active_ref[...])
 
     trace1 = functools.partial(
         _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
@@ -432,9 +433,13 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
         has_dielectric=has_dielectric,
         order_base=pl.program_id(0) * n_chunks)
 
-    # whole-tile skip: sorted dead rays cluster into all-dead tiles
-    state, o, d, atten, active = jax.lax.cond(
-        jnp.any(active > 0), trace1, lambda c: c, carry)
+    def bounce(_, carry):
+        # whole-tile skip: sorted dead rays cluster into all-dead tiles
+        return jax.lax.cond(jnp.any(carry[4] > 0), trace1, lambda c: c,
+                            carry)
+
+    state, o, d, atten, active = jax.lax.fori_loop(
+        0, n_bounces, bounce, carry)
 
     for c in range(3):
         opayf_ref[c] = o[c]
@@ -468,7 +473,7 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "interpret", "sort", "key_bits",
-    "key_dmajor"))
+    "key_dmajor", "sort_every"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -476,7 +481,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            th: int = 8, tw: int = 256, chunk: int = CHUNK,
                            has_metal: bool = True, has_dielectric: bool = True,
                            interpret: bool = False, sort: bool = True,
-                           key_bits: int = 8, key_dmajor: bool = False):
+                           key_bits: int = 8, key_dmajor: bool = False,
+                           sort_every: int = 1):
     """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
 
     ``time`` is (F, 1) u32, one time uniform per frame; all F frames' rays
@@ -533,29 +539,33 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     inv_span = 1.0 / jnp.maximum(jnp.max(chunks[:, 3:6], axis=0) - lo, 1e-30)
 
     n_tiles = rows // th
-    bounce = functools.partial(_wave_bounce_kernel, th=th, tw=tw, **common)
     ray_specs = (pl.BlockSpec((9, th, tw), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((th, tw), lambda i: (i, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((th, tw), lambda i: (i, 0),
                               memory_space=pltpu.VMEM))
-    bounce_call = pl.pallas_call(
-        bounce,
-        out_shape=(jax.ShapeDtypeStruct((9, rows, tw), jnp.float32),
-                   jax.ShapeDtypeStruct((rows, tw), jnp.uint32),
-                   jax.ShapeDtypeStruct((rows, tw), jnp.int32)),
-        grid=(rows // th,),
-        in_specs=[vmem, smem, vmem,
-                  # per-TILE chunk visit order: flattened (n_tiles*n_chunks,
-                  # 1) column in VMEM; each grid step reads its own segment
-                  # at order_base = program_id * n_chunks
-                  vmem,
-                  *ray_specs],
-        out_specs=ray_specs,
-        interpret=interpret)
 
-    for _ in range(1, bounces):
+    def bounce_call(nb, *operands):
+        kernel = functools.partial(_wave_bounce_kernel, th=th, tw=tw,
+                                   n_bounces=nb, **common)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((9, rows, tw), jnp.float32),
+                       jax.ShapeDtypeStruct((rows, tw), jnp.uint32),
+                       jax.ShapeDtypeStruct((rows, tw), jnp.int32)),
+            grid=(rows // th,),
+            in_specs=[vmem, smem, vmem,
+                      # per-TILE chunk visit order: flattened
+                      # (n_tiles*n_chunks, 1) column in VMEM; each grid step
+                      # reads its own segment at program_id * n_chunks
+                      vmem,
+                      *ray_specs],
+            out_specs=ray_specs,
+            interpret=interpret)(*operands)
+
+    for b in range(1, bounces, sort_every):
+        nb = min(sort_every, bounces - b)
         if sort:
             # ONE variadic sort moves the whole payload with the key —
             # measured ~10x cheaper than argsort + per-array gathers
@@ -578,7 +588,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         tile_order = jnp.argsort(tdist, axis=1).astype(
             jnp.int32).reshape(-1, 1)                # (n_tiles*n_chunks, 1)
         payp, state2, active2 = bounce_call(
-            tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
+            nb, tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
             state.reshape(rows, tw), active.reshape(rows, tw))
         pay = payp.reshape(9, n)
         state = state2.reshape(n)
