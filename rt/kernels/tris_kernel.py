@@ -562,6 +562,9 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                       vmem,
                       *ray_specs],
             out_specs=ray_specs,
+            # donate the ray payload: inputs 4/5/6 (pay, state, active)
+            # update in place as outputs 0/1/2
+            input_output_aliases={4: 0, 5: 1, 6: 2},
             interpret=interpret)(*operands)
 
     for b in range(1, bounces, sort_every):
