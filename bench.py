@@ -1,18 +1,25 @@
 """Headline benchmark — prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "rays/s",
+     "vs_baseline": N, "vs_target": N}
 
-Metric (BASELINE.json): ray throughput on the flagship Suzanne mesh scene
-(the reference's src/scene/scene_tris.rs:119-159) at 1280x720, 8 bounces.
-"rays/s" counts traced ray segments — every pixel's bounce-loop iteration
-casts one ray (the fixed-depth loop traces bounces segments per sample),
-the standard Mrays/s accounting for path tracers.
+Canonical metric config (the default run): the flagship Suzanne mesh scene
+(the reference's src/scene/scene_tris.rs:119-159) at **512x512, 8 bounces,
+64 progressive frames per timed call** — the golden-test resolution with
+BASELINE.md's bounce budget; BASELINE's "64 spp" is realized as 64
+progressive 1-spp frames (SAMPLE_PER_FRAME=1 is the reference's own
+sampling unit, shader_sphere.wgsl:11).  "rays/s" counts traced ray
+segments — every pixel's bounce-loop iteration casts one ray (the
+fixed-depth loop traces ``bounces`` segments per sample), the standard
+Mrays/s accounting for path tracers.
 
 vs_baseline: the reference publishes no numbers; its perf test implies a
-lower bound of ~2.62e6 ray segments/s (512*512 px * 1 spp * 10 bounces in
+lower bound of ~5.24e5 ray segments/s (512*512 px * 1 spp * 10 bounces in
 <5 s — tests/rendering_tests.rs:8-11,571-575 + shader_sphere.wgsl:12), so
 the ratio is reported against that implied floor.
+vs_target: ratio against the 1e9 seg/s/chip north-star target
+(BASELINE.md "Targets").
 
-Usage: python bench.py [--scene suzanne] [--size 1280x720] [--frames 16]
+Usage: python bench.py [--scene suzanne] [--size 512x512] [--frames 64]
                        [--bounces 8] [--backend auto]
 """
 
@@ -25,6 +32,7 @@ import sys
 import time as time_mod
 
 REFERENCE_RAYS_PER_S = 512 * 512 * 10 / 5.0  # implied floor, see docstring
+TARGET_RAYS_PER_S = 1e9                      # BASELINE.md north star
 
 
 def main(argv=None) -> int:
@@ -33,10 +41,11 @@ def main(argv=None) -> int:
                    choices=["suzanne", "sphere_simple", "lucy", "dragon",
                             "perf"])
     p.add_argument("--size", default="512x512")
-    # 16 frames per compiled call: the axon tunnel adds ~50-70 ms of
+    # 64 frames per compiled call: the axon tunnel adds ~26 ms of
     # per-dispatch latency, so a small batch under-reports sustained
-    # throughput (render_frames scans all frames inside ONE call)
-    p.add_argument("--frames", type=int, default=16)
+    # throughput (render_frames scans all frames inside ONE call); 64 also
+    # matches BASELINE's 64-spp metric config (progressive 1-spp frames)
+    p.add_argument("--frames", type=int, default=64)
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--backend", default="auto",
                    help="auto|jax|pallas (auto: pallas on TPU, jax elsewhere)")
@@ -95,6 +104,7 @@ def main(argv=None) -> int:
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / REFERENCE_RAYS_PER_S,
+        "vs_target": rays_per_s / TARGET_RAYS_PER_S,
     }))
     return 0
 

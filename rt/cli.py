@@ -37,7 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--size", default="512x512")
     p.add_argument("-o", "--output", default="out.ppm")
-    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--backend",
+                   choices=["jax", "pallas", "pallas_mono", "pallas_wave"],
+                   default="jax")
     p.add_argument("--time-step", type=int, default=10,
                    help="ms added to the RNG time uniform per frame")
     p.add_argument("--start-time", type=int, default=1000)

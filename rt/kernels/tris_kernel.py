@@ -7,11 +7,12 @@ flow + random node loads — exactly what a VPU cannot do), the kernel uses
 the SAME spatially-sorted triangle order the BVH build produces
 (rt/scene/bvh.py — BFS median splits) but consumes it as a *wide* hierarchy:
 
-- triangles are scanned in CHUNKS of consecutive Morton-clustered leaves;
+- triangles are scanned in CHUNKS of consecutive Morton-clustered leaves
+  (``chunk`` triangles each — 32 in the dispatch paths, measured best);
   per-chunk AABBs live in VMEM (SMEM cannot hold large scenes — dragon has
   1563 chunks of 32);
 - per chunk the whole pixel tile does one slab test (planes, ~25 VPU ops);
-  if NO ray in the tile enters the chunk the entire 128-triangle scan is
+  if NO ray in the tile enters the chunk the chunk's whole triangle scan is
   skipped via a scalar branch (``lax.cond``) — tile-coherent culling, the
   VPU analog of packet traversal;
 - inside a live chunk the triangle loop broadcasts per-triangle scalars from
@@ -37,7 +38,7 @@ from rt.config import EPSILON_TRIS, FLT_MAX
 from rt.kernels import plane_math as pm
 from rt.kernels import tracer_common as tc
 
-CHUNK = 128  # default; overridable per call (static)
+CHUNK = 32  # default chunk size (static); 32 measured best vs 128/16 on-chip
 
 # VMEM triangle-table columns (edges precomputed at pack time — the kernel
 # never re-derives b-a/c-a per lane, and material attributes are deferred to
@@ -366,9 +367,16 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
 # bounce-level compaction for open scenes.
 #
 # Per-ray results are IDENTICAL to the monolithic kernel: the bounce body is
-# the same `_trace_bounce`, the global chunk visit order is the same, and
-# sorting only changes which tile a ray lands in (per-lane arithmetic is
-# order-independent); the final scatter restores pixel order.
+# the same `_trace_bounce` (same arithmetic per (ray, triangle) pair), and
+# sorting only changes which tile a ray lands in; the final scatter restores
+# pixel order.  Caveat: bounces >= 1 use a per-TILE front-to-back chunk
+# visit order (the monolithic kernel uses the camera-eye order), and with
+# strict ``t < best`` closest-hit a cross-chunk EXACT-t tie (e.g. a ray
+# through a shared edge of triangles in different chunks) resolves to
+# whichever chunk is visited first — so wave==mono bit-identity is
+# measure-zero-safe, not absolute; the golden-metric tests are the backstop.
+# (Within a chunk, ascending triangle order is shared, so intra-chunk ties
+# agree.)
 # ---------------------------------------------------------------------------
 
 
@@ -455,6 +463,10 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     bounds) interleaved with the direction octant (low bits, or high bits
     when ``dmajor``); dead rays get 0xFFFFFFFF so they cluster at the
     stream's end and their tiles skip the scan."""
+    # 3*bits of Morton code + 3 octant bits must fit in u32, else the shift
+    # silently drops Morton bits (origin-major) or aliases octants (dmajor)
+    # — a coherence (perf) corruption, not a correctness one.
+    assert 3 * bits + 3 <= 32, f"key_bits={bits} overflows the u32 sort key"
     top = float((1 << bits) - 1)
     q = [jnp.clip((o[c] - lo[c]) * inv_span[c] * top, 0.0,
                   top).astype(jnp.uint32) for c in range(3)]

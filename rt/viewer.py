@@ -139,7 +139,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("scene", nargs="?", default="1")
     p.add_argument("--size", default="160x90")
-    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--backend",
+                   choices=["jax", "pallas", "pallas_mono", "pallas_wave"],
+                   default="jax")
     args = p.parse_args(argv)
     from rt.scene import scenes
     try:
