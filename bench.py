@@ -39,7 +39,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="suzanne",
                    choices=["suzanne", "sphere_simple", "lucy", "dragon",
-                            "perf"])
+                            "perf", "cover"])
     p.add_argument("--size", default="512x512")
     # 64 frames per compiled call: the axon tunnel adds ~26 ms of
     # per-dispatch latency, so a small batch under-reports sustained
@@ -62,7 +62,9 @@ def main(argv=None) -> int:
                 "sphere_simple": scenes.scene_sphere_simple,
                 "lucy": scenes.scene_lucy,
                 "dragon": scenes.scene_dragon,
-                "perf": scenes.test_scene_perf}
+                "perf": scenes.test_scene_perf,
+                # BASELINE config 3: ~490-sphere RTIOW cover, 1280x720
+                "cover": scenes.scene_sphere_cover}
     sd = builders[args.scene](w, h)
 
     platform = jax.devices()[0].platform

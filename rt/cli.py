@@ -32,7 +32,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("scene", nargs="?", default=None,
-                   help="scene id 1-7 (random if omitted, like the reference)")
+                   help="scene id 1-7 (random if omitted, like the "
+                        "reference); 8 = RTIOW ~490-sphere cover (extension)")
     p.add_argument("--scene", dest="scene_opt", type=int, default=None)
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--size", default="512x512")

@@ -76,6 +76,18 @@ class RenderConfig:
     # same way at pipeline-creation time). The oracle always evaluates all
     # arms (masked), so results agree on every lane that can actually hit.
     mat_kinds: tuple = (MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC)
+    # EXTENSION (default off = reference behavior): evaluate the sky term on
+    # the FINAL bounced ray direction instead of the primary camera ray.
+    # The reference quirk (shader_sphere.wgsl:241-242 reads `ray.dir`, the
+    # ORIGINAL ray) makes pixel color piecewise-constant in geometry/pose —
+    # with detached Monte-Carlo decisions there is NO continuous path from
+    # sphere centers/radii (or camera, beyond the primary dir) to the color,
+    # so exact-renderer geometry gradients are structurally zero.  The
+    # standard RTIOW background semantics (sky of the escaped ray) restores
+    # a continuous chain  center/radius -> t -> normal -> reflect/refract ->
+    # final dir -> sky,  making geometry gradients FD-verifiable in the
+    # EXACT transport (rt/grad, tests/test_grad.py geometry tests).
+    sky_from_final_dir: bool = False
 
     @staticmethod
     def for_spheres(width: int = 512, height: int = 512, **kw) -> "RenderConfig":

@@ -69,7 +69,16 @@ def scatter(state, ray_origin, ray_dir, hit, *, normalize_reflect_in: bool):
     met_dir = normalize(reflect(refl_in, normal) + param[..., None] * hemi)
 
     # --- dielectric / default (shader_sphere.wgsl:183-216) ---------------
-    ir = jnp.where(hit["front_face"], 1.0 / param, param)
+    # Grad guard: lambertian/metal lanes still EVALUATE this arm (masked
+    # out below), and their param is fuzz (often 0) -> ir = 1/0 = inf ->
+    # NaN primals inside the untaken branch, which poison normal/dir
+    # cotangents in reverse mode (0 * NaN = NaN).  Pinning ir to 1 on those
+    # lanes keeps the selected forward values bit-identical (the outer
+    # select never reads die_dir there) and the backward finite.
+    is_lam = kind == MAT_LAMBERTIAN
+    is_met = kind == MAT_METAL
+    param_die = jnp.where(is_lam | is_met, jnp.float32(1.0), param)
+    ir = jnp.where(hit["front_face"], 1.0 / param_die, param_die)
     cos_theta = jnp.minimum(dot(-ray_dir, normal), 1.0)
     sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
     cannot_refract = ir * sin_theta > 1.0
@@ -80,8 +89,6 @@ def scatter(state, ray_origin, ray_dir, hit, *, normalize_reflect_in: bool):
     die_state = jnp.where(cannot_refract, state, s1)
 
     # --- select by material id -------------------------------------------
-    is_lam = kind == MAT_LAMBERTIAN
-    is_met = kind == MAT_METAL
     # dielectric AND any unknown id both take the dielectric path.
     new_dir = jnp.where(is_lam[..., None], lam_dir,
                         jnp.where(is_met[..., None], met_dir, die_dir))

@@ -75,7 +75,13 @@ def intersect_sphere_t(origin, direction, center, radius):
     b = 2.0 * dot(oc, direction)
     c = dot(oc, oc) - radius * radius
     disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where sqrt guard: forward-identical to sqrt(max(disc, 0))
+    # (disc > 0 -> sqrt(disc); disc <= 0 -> 0), but the backward pass sees
+    # sqrt(1) on non-positive lanes instead of d(sqrt)/dx|_0 = inf — without
+    # it, miss lanes poison geometry/camera cotangents with 0*inf = NaN
+    # (rt/grad differentiates through this t — shader_sphere.wgsl:136-155).
+    pos = disc > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     t = (-b - sq) / (2.0 * a)
     return jnp.where(disc < 0.0, jnp.float32(-1.0), t)
 
@@ -108,7 +114,13 @@ def hit_record(scene: SphereArray, origin, direction, t, idx):
     i = jnp.clip(idx, 0, scene.count - 1)
     center = scene.center[i]
     radius = scene.radius[i]
-    point = origin + t[..., None] * direction
+    # Miss lanes carry the t = FLT_MAX sentinel; FLT_MAX * d overflows to
+    # inf and the downstream scatter's normalize(reflect(inf)) is NaN —
+    # harmless in the forward pass (callers mask on t != FLT_MAX) but NaN
+    # primals poison reverse-mode cotangents (0 * NaN).  Pin miss lanes to
+    # t = 1: their hit-record values stay discarded, gradients stay finite.
+    t_safe = jnp.where(t == FLT_MAX, jnp.float32(1.0), t)
+    point = origin + t_safe[..., None] * direction
     normal = (point - center) / radius[..., None]
     front_face = dot(direction, normal) < 0.0
     normal = jnp.where(front_face[..., None], normal, -normal)

@@ -35,12 +35,17 @@ def sky_color(primary_dir):
 
 
 def trace(intersect_fn, hit_record_fn, state, origin, direction, *,
-          bounces: int, normalize_reflect_in: bool):
+          bounces: int, normalize_reflect_in: bool,
+          sky_from_final_dir: bool = False):
     """Generic bounce loop.
 
     intersect_fn(origin, direction) -> (t, idx) with t == FLT_MAX on miss.
     hit_record_fn(origin, direction, t, idx) -> hit dict.
     Returns (new_state, color(...,3)).
+
+    sky_from_final_dir: extension (RenderConfig.sky_from_final_dir) — sky on
+    the last bounced direction (standard RTIOW) instead of the reference's
+    primary-ray quirk.
     """
     atten = jnp.ones(origin.shape, jnp.float32)
     active = jnp.ones(origin.shape[:-1], jnp.bool_)
@@ -62,6 +67,6 @@ def trace(intersect_fn, hit_record_fn, state, origin, direction, *,
         atten = jnp.where(m3, atten * hit["albedo"] * 0.7, atten)
         return state, o, d, atten, hit_mask
 
-    state, _, _, atten, _ = jax.lax.fori_loop(
+    state, _, d, atten, _ = jax.lax.fori_loop(
         0, bounces, body, (state, origin, direction, atten, active))
-    return state, atten * sky_color(primary_dir)
+    return state, atten * sky_color(d if sky_from_final_dir else primary_dir)

@@ -187,8 +187,11 @@ def hit_record(scene: TriangleScene, origin, direction, t, idx):
     i = jnp.clip(idx, 0, scene.m - 1)
     normal = scene.normal[i]
     mid = jnp.clip(scene.mat_id[i], 0, scene.mat_albedo.shape[0] - 1)
+    # Pin the miss-lane FLT_MAX sentinel (same reverse-mode NaN guard as
+    # sphere.hit_record: FLT_MAX * d overflows, callers mask on t anyway).
+    t_safe = jnp.where(t == FLT_MAX, jnp.float32(1.0), t)
     return {
-        "point": origin + t[..., None] * direction,
+        "point": origin + t_safe[..., None] * direction,
         "normal": normal,
         "front_face": dot(normal, direction) > 0.0,
         "albedo": scene.mat_albedo[mid],

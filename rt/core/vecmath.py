@@ -44,12 +44,27 @@ def reflect(v, n):
 
 
 def refract(uv, n, etai_over_etat):
-    """shader_sphere.wgsl:159-165 (input may be unnormalized, as in the ref)."""
+    """shader_sphere.wgsl:159-165 (input may be unnormalized, as in the ref).
+
+    The perp-length sqrt is double-where guarded: forward-identical to
+    length(r_out_perp) (sqrt(x) for x > 0, 0 at x == 0), but reverse-mode
+    sees sqrt(1) on the zero lanes — a ray exactly antiparallel to the
+    normal makes r_out_perp == 0, whose d(sqrt)/dx = inf otherwise poisons
+    geometry/pose cotangents (0 * inf = NaN) even on lanes whose scatter
+    output is masked away (rt/grad differentiates through this arm)."""
     cos_theta = jnp.minimum(dot(-uv, n), 1.0)
     r_out_perp = etai_over_etat[..., None] * (uv + cos_theta[..., None] * n)
-    ln = length(r_out_perp)
-    r_out_parallel = -jnp.sqrt(jnp.abs(1.0 - ln * ln))[..., None] * n
-    return r_out_perp + r_out_parallel
+    lnsq = dot(r_out_perp, r_out_perp)
+    pos = lnsq > 0.0
+    ln = jnp.where(pos, jnp.sqrt(jnp.where(pos, lnsq, 1.0)), 0.0)
+    # same guard for the parallel term: d(sqrt(abs(x)))/dx at x == 0 is
+    # inf * sign(0) = NaN in reverse mode (even with a zero cotangent);
+    # x == 0 happens for rays exactly antiparallel to the normal (ln == 0,
+    # x == 1 is fine — the hazard is ln == 1, grazing incidence on unit d).
+    x = 1.0 - ln * ln
+    nz = x != 0.0
+    sq = jnp.where(nz, jnp.sqrt(jnp.abs(jnp.where(nz, x, 1.0))), 0.0)
+    return r_out_perp - sq[..., None] * n
 
 
 def schlick_reflectance(cosine, ref_idx):

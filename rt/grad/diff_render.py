@@ -36,11 +36,18 @@ from rt.core.trace import sky_color
 
 
 def trace_diff(intersect_fn, hit_record_fn, state, origin, direction, *,
-               bounces: int, normalize_reflect_in: bool, remat: bool = True):
+               bounces: int, normalize_reflect_in: bool, remat: bool = True,
+               sky_from_final_dir: bool = False):
     """Differentiable bounce loop: scan + optional per-bounce checkpoint.
 
     Same carry/update semantics as rt.core.trace.trace (fori_loop body),
     including the masked-lane freeze on miss.
+
+    sky_from_final_dir=True (RenderConfig extension) is what makes exact
+    geometry/pose gradients non-trivial: it closes the continuous chain
+    params -> t/normal -> reflect/refract -> final dir -> sky.  Under the
+    reference transport (False) those gradients are structurally zero
+    (tests/test_grad.py::test_sphere_geometry_grads_structurally_zero_in_reference_mode).
     """
 
     def body(carry, _):
@@ -63,8 +70,8 @@ def trace_diff(intersect_fn, hit_record_fn, state, origin, direction, *,
     atten = jnp.ones(origin.shape, jnp.float32)
     active = jnp.ones(origin.shape[:-1], jnp.bool_)
     carry = (state, origin, direction, atten, active)
-    (state, _, _, atten, _), _ = jax.lax.scan(body, carry, None, length=bounces)
-    return state, atten * sky_color(direction)
+    (state, _, d, atten, _), _ = jax.lax.scan(body, carry, None, length=bounces)
+    return state, atten * sky_color(d if sky_from_final_dir else direction)
 
 
 def render_color_diff(scene, camera, config: RenderConfig, time,
@@ -89,7 +96,8 @@ def render_color_diff(scene, camera, config: RenderConfig, time,
         state, c = trace_diff(intersect, hit_rec, state, origin, direction,
                               bounces=config.bounces,
                               normalize_reflect_in=config.normalize_reflect_in,
-                              remat=remat)
+                              remat=remat,
+                              sky_from_final_dir=config.sky_from_final_dir)
         color = color + c
     return color / config.samples_per_frame
 

@@ -85,6 +85,62 @@ def make_soft_loss(scene: SphereArray, config: RenderConfig, target,
     return loss
 
 
+def make_soft_geom_loss(base_scene: SphereArray, camera, config: RenderConfig,
+                        target, time=1000, tau: float = 0.05,
+                        tau_depth: float = 0.5):
+    """loss(SphereParams) -> scalar: the geometry twin of make_soft_loss —
+    differentiable in sphere centers/radii (and albedos) EVERYWHERE,
+    including across silhouettes (the hard renderer's geometry gradients
+    are structurally zero under the reference transport; see
+    RenderConfig.sky_from_final_dir for the exact-transport alternative)."""
+    from rt.grad.params import apply_params
+
+    target = jnp.asarray(target, jnp.float32)
+    t = jnp.uint32(time)
+
+    @jax.jit
+    def loss(p):
+        sc = apply_params(base_scene, p)
+        img = soft_render(sc, camera, config, t, tau=tau,
+                          tau_depth=tau_depth)
+        d = img - target
+        return jnp.mean(d * d)
+
+    return loss
+
+
+def recover_geometry(scene: SphereArray, camera, config: RenderConfig,
+                     target, init_params, *, sphere_index: int,
+                     steps: int = 180, learning_rate: float = 3e-2,
+                     taus=(0.2, 0.05, 0.02), time=1000):
+    """Annealed geometry recovery: optimize ONE sphere's center/radius on
+    the soft surrogate, coarse-to-fine tau.  Returns (SphereParams, losses).
+
+    Only the ``sphere_index`` row receives gradient — the rest of the scene
+    is treated as known (the identifiable single-object recovery task of
+    BASELINE config 5's geometry clause)."""
+    import optax
+
+    params = init_params
+    losses = []
+    for tau in taus:
+        loss = make_soft_geom_loss(scene, camera, config, target, time=time,
+                                   tau=tau)
+        opt = optax.adam(learning_rate)
+        st = opt.init(params)
+        grad = jax.jit(jax.value_and_grad(loss))
+        for _ in range(steps // len(taus)):
+            l, g = grad(params)
+            g = jax.tree_util.tree_map(
+                lambda gi: gi * jnp.zeros(gi.shape[:1], gi.dtype)
+                                 .at[sphere_index].set(1.0)
+                                 .reshape((-1,) + (1,) * (gi.ndim - 1)), g)
+            upd, st = opt.update(g, st, params)
+            params = optax.apply_updates(params, upd)
+            losses.append(float(l))
+    return params, losses
+
+
 def recover_camera(scene: SphereArray, config: RenderConfig, target,
                    init_params, *, steps: int = 200, learning_rate: float = 3e-2,
                    taus=(0.2, 0.05, 0.02), time=1000,

@@ -73,7 +73,12 @@ def render_color(scene, camera, config: RenderConfig, time,
             normalize_defocus_dir=config.normalize_defocus_dir,
             normalize_reflect_in=config.normalize_reflect_in,
             th=th, tw=tw, has_metal=has_metal,
-            has_dielectric=has_dielectric, interpret=interpret)
+            has_dielectric=has_dielectric,
+            sky_from_final_dir=config.sky_from_final_dir,
+            # past the reference's 100-sphere cap the table outgrows SMEM;
+            # VMEM scalar reads are the same (dynamic row, static col) form
+            table_in_vmem=tab.shape[0] > 128,
+            interpret=interpret)
     elif isinstance(scene, TriangleScene):
         # The wavefront backend (per-bounce kernels + coherence-sorted ray
         # streams) measured ~2.5x the monolithic kernel's compute on
@@ -88,7 +93,9 @@ def render_color(scene, camera, config: RenderConfig, time,
                 normalize_defocus_dir=config.normalize_defocus_dir,
                 normalize_reflect_in=config.normalize_reflect_in,
                 th=th, tw=tw, chunk=32, has_metal=has_metal,
-                has_dielectric=has_dielectric, interpret=interpret)
+                has_dielectric=has_dielectric,
+                sky_from_final_dir=config.sky_from_final_dir,
+                interpret=interpret)
         else:
             return render_color_frames(scene, camera, config, time_arr,
                                        interpret=interpret)[0]
@@ -142,6 +149,7 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
         th=th, tw=tw, chunk=32,
         has_metal=MAT_METAL in config.mat_kinds,
         has_dielectric=MAT_DIELECTRIC in config.mat_kinds,
+        sky_from_final_dir=config.sky_from_final_dir,
         interpret=interpret)                       # (F, 3, Hp, Wp)
     colors = jnp.transpose(colors, (0, 2, 3, 1))   # (F, Hp, Wp, 3)
     if (hp, wp) != (h, w):

@@ -35,7 +35,7 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
             n_spheres: int, height: int, width: int, th: int, tw: int,
             bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
-            has_dielectric: bool = True):
+            has_dielectric: bool = True, sky_from_final_dir: bool = False):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
@@ -129,7 +129,10 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
     state, o, d, atten, active = jax.lax.fori_loop(
         0, bounces, bounce, (state, o, d, atten, active))
 
-    col = tc.sky_times_atten(primary_dy, atten)
+    # sky_from_final_dir: RenderConfig extension (standard RTIOW background);
+    # default False = the reference's primary-ray sky quirk.
+    col = tc.sky_times_atten(d[1] if sky_from_final_dir else primary_dy,
+                             atten)
     out_ref[0] = col[0]
     out_ref[1] = col[1]
     out_ref[2] = col[2]
@@ -138,7 +141,8 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnames=(
     "n_spheres", "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw",
-    "has_metal", "has_dielectric", "interpret"))
+    "has_metal", "has_dielectric", "table_in_vmem", "sky_from_final_dir",
+    "interpret"))
 def render_color_spheres(sph_table, kind_table, cam_row, time, *,
                          n_spheres: int, height: int, width: int,
                          height_pad: int, width_pad: int,
@@ -146,27 +150,36 @@ def render_color_spheres(sph_table, kind_table, cam_row, time, *,
                          normalize_reflect_in: bool, th: int = 16,
                          tw: int = 256, has_metal: bool = True,
                          has_dielectric: bool = True,
+                         table_in_vmem: bool = False,
+                         sky_from_final_dir: bool = False,
                          interpret: bool = False):
     """Returns planar (3, Hp, Wp) color for one frame (crop to H, W).
 
     height/width: REAL resolution (seed + uv math); height_pad/width_pad:
     tile-aligned grid extent.  sph_table: (N, 8) f32, kind_table: (N, 1)
     i32, cam_row: (1, 20) f32, time: (1, 1) u32.
+
+    table_in_vmem: place the sphere/kind tables in VMEM instead of SMEM —
+    required for scenes past the reference's 100-sphere cap (the RTIOW
+    ~490-sphere cover scene is a 15 KB table, over SMEM); every access is
+    already a (dynamic row, static column) scalar read, the one pattern
+    Mosaic lowers from VMEM, so the kernel body is unchanged.
     """
     grid = (height_pad // th, width_pad // tw)
     kernel = functools.partial(
         _kernel, n_spheres=n_spheres, height=height, width=width, th=th,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric)
+        has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir)
+    table_space = pltpu.VMEM if table_in_vmem else pltpu.SMEM
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),
                                        jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere table
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # kinds
+            pl.BlockSpec(memory_space=table_space),  # sphere table
+            pl.BlockSpec(memory_space=table_space),  # kinds
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
             pl.BlockSpec(memory_space=pltpu.SMEM),   # time
         ],

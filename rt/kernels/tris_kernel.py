@@ -78,7 +78,7 @@ def _tile_rays(cam_ref, time, ti, tj, *, th: int, tw: int, height: int,
 def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                   chunk: int, n_chunks: int, n_mats: int,
                   normalize_reflect_in: bool, has_metal: bool,
-                  has_dielectric: bool, order_base=0):
+                  has_dielectric: bool, order_base=0, unroll: int = 1):
     """One path-trace bounce over a tile of rays: front-to-back chunk-culled
     closest-hit scan, once-per-bounce material resolve, scatter.  Shared by
     the monolithic whole-frame kernel and the wavefront per-bounce kernel —
@@ -145,9 +145,16 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
 
         def do(best):
             # static trip count; the table is zero-padded to a chunk
-            # multiple, so padding triangles are degenerate (det == 0)
-            return jax.lax.fori_loop(
-                0, chunk, lambda kk, b: scan_tri(lo + kk, b), best)
+            # multiple, so padding triangles are degenerate (det == 0).
+            # ``unroll`` scans several triangles per loop iteration in the
+            # same ascending order (bit-identical results) — more ILP for
+            # the VPU's issue slots between the serial best-t select chains.
+            def body(kk, b):
+                for uu in range(unroll):
+                    b = scan_tri(lo + kk * unroll + uu, b)
+                return b
+
+            return jax.lax.fori_loop(0, chunk // unroll, body, best)
 
         return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
 
@@ -197,7 +204,8 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
             width: int,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
-            has_dielectric: bool = True):
+            has_dielectric: bool = True, sky_from_final_dir: bool = False,
+            unroll: int = 1):
     """Monolithic whole-frame kernel: raygen + all bounces in one launch."""
     state, o, d, primary_dy = _tile_rays(
         cam_ref, time_ref[0, 0], pl.program_id(0), pl.program_id(1), th=th,
@@ -213,7 +221,7 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
         _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric)
+        has_dielectric=has_dielectric, unroll=unroll)
 
     def bounce(_, carry):
         # whole-tile early exit: once every lane has escaped to the sky the
@@ -224,7 +232,10 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
     state, o, d, atten, active = jax.lax.fori_loop(
         0, bounces, bounce, (state, o, d, atten, active))
 
-    col = tc.sky_times_atten(primary_dy, atten)
+    # sky_from_final_dir: RenderConfig extension (standard RTIOW background);
+    # default False = the reference's primary-ray sky quirk.
+    col = tc.sky_times_atten(d[1] if sky_from_final_dir else primary_dy,
+                             atten)
     out_ref[0] = col[0]
     out_ref[1] = col[1]
     out_ref[2] = col[2]
@@ -310,12 +321,14 @@ def pack_tri_table(scene, chunk: int = CHUNK):
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
-    "has_metal", "has_dielectric", "interpret"))
+    "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
+    "interpret"))
 def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       height_pad: int, width_pad: int, bounces: int,
                       normalize_defocus_dir: bool, normalize_reflect_in: bool,
                       th: int = 8, tw: int = 256, chunk: int = CHUNK,
                       has_metal: bool = True, has_dielectric: bool = True,
+                      sky_from_final_dir: bool = False, unroll: int = 1,
                       interpret: bool = False):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
     tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
@@ -333,7 +346,8 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         width=width, th=th,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric)
+        has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir,
+        unroll=unroll)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),
@@ -386,7 +400,7 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
                        width: int, th: int, tw: int,
                        normalize_defocus_dir: bool,
                        normalize_reflect_in: bool, has_metal: bool,
-                       has_dielectric: bool):
+                       has_dielectric: bool, unroll: int = 1):
     """Raygen fused with bounce 0 (primary rays are already coherent in
     pixel order — no sort needed before the first bounce).  Outputs the ray
     payload: payf = [o(3), d(3), atten(3), primary_dy] planes.
@@ -407,7 +421,7 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
         tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, chunk=chunk,
         n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric)
+        has_dielectric=has_dielectric, unroll=unroll)
 
     for c in range(3):
         payf_ref[c] = o[c]
@@ -423,7 +437,7 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
                         oactive_ref, *, n_chunks: int, chunk: int,
                         n_mats: int, th: int, tw: int, n_bounces: int,
                         normalize_reflect_in: bool, has_metal: bool,
-                        has_dielectric: bool):
+                        has_dielectric: bool, unroll: int = 1):
     """n_bounces bounces over a tile of (sorted) rays — fusing 2 bounces
     per launch halves the sort + payload-roundtrip count at slightly
     staler coherence for the second bounce."""
@@ -438,7 +452,7 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
         _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric,
+        has_dielectric=has_dielectric, unroll=unroll,
         order_base=pl.program_id(0) * n_chunks)
 
     def bounce(_, carry):
@@ -458,42 +472,55 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
 
 
 def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
-                  dmajor: bool = False):
+                  dir_bits: int = 1, dmajor: bool = False):
     """u32 coherence key: origin Morton code (``bits``/axis over the scene
-    bounds) interleaved with the direction octant (low bits, or high bits
-    when ``dmajor``); dead rays get 0xFFFFFFFF so they cluster at the
-    stream's end and their tiles skip the scan."""
-    # 3*bits of Morton code + 3 octant bits must fit in u32, else the shift
-    # silently drops Morton bits (origin-major) or aliases octants (dmajor)
-    # — a coherence (perf) corruption, not a correctness one.
-    assert 3 * bits + 3 <= 32, f"key_bits={bits} overflows the u32 sort key"
+    bounds) interleaved with a direction Morton code (``dir_bits``/axis —
+    1 bit/axis is the classic sign octant; more bits subdivide the octant,
+    which matters because post-bounce direction SPREAD, not origin spread,
+    is what widens a tile's chunk union); dead rays get 0xFFFFFFFF so they
+    cluster at the stream's end and their tiles skip the scan."""
+    # the origin and direction codes must fit in u32 together, else shifts
+    # silently drop Morton bits — a coherence (perf) corruption, not a
+    # correctness one.
+    assert 3 * bits + 3 * dir_bits <= 32, \
+        f"key_bits={bits}/dir_bits={dir_bits} overflow the u32 sort key"
     top = float((1 << bits) - 1)
     q = [jnp.clip((o[c] - lo[c]) * inv_span[c] * top, 0.0,
                   top).astype(jnp.uint32) for c in range(3)]
     code = (_spread10(q[0]) << 2) | (_spread10(q[1]) << 1) | _spread10(q[2])
-    octant = ((d[0] < 0).astype(jnp.uint32) * 4
-              + (d[1] < 0).astype(jnp.uint32) * 2
-              + (d[2] < 0).astype(jnp.uint32))
+    # directions are unit vectors after the first bounce (scatter outputs
+    # are normalized), so quantize [-1, 1]; floor((d+1)*2^(b-1)) clipped —
+    # at dir_bits=1 this is the sign octant.
+    half = float(1 << (dir_bits - 1))
+    dtop = (1 << dir_bits) - 1
+    qd = [jnp.clip((d[c] + 1.0) * half, 0.0,
+                   float(dtop)).astype(jnp.uint32) for c in range(3)]
+    dcode = (_spread10(qd[0]) << 2) | (_spread10(qd[1]) << 1) \
+        | _spread10(qd[2])
     if dmajor:
-        key = (octant << (3 * bits)) | code
+        key = (dcode << (3 * bits)) | code
     else:
-        key = (code << 3) | octant
+        key = (code << (3 * dir_bits)) | dcode
     return jnp.where(active > 0, key, jnp.uint32(0xFFFFFFFF))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
-    "has_metal", "has_dielectric", "interpret", "sort", "key_bits",
-    "key_dmajor", "sort_every"))
+    "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
+    "interpret", "sort", "key_bits", "key_dir_bits", "key_dmajor",
+    "sort_every"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
                            normalize_reflect_in: bool,
                            th: int = 8, tw: int = 256, chunk: int = CHUNK,
                            has_metal: bool = True, has_dielectric: bool = True,
+                           sky_from_final_dir: bool = False,
+                           unroll: int = 1,
                            interpret: bool = False, sort: bool = True,
-                           key_bits: int = 8, key_dmajor: bool = False,
+                           key_bits: int = 8, key_dir_bits: int = 1,
+                           key_dmajor: bool = False,
                            sort_every: int = 1):
     """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
 
@@ -509,7 +536,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
 
     common = dict(n_chunks=n_chunks, chunk=chunk, n_mats=n_mats,
                   normalize_reflect_in=normalize_reflect_in,
-                  has_metal=has_metal, has_dielectric=has_dielectric)
+                  has_metal=has_metal, has_dielectric=has_dielectric,
+                  unroll=unroll)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -586,7 +614,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
             # measured ~10x cheaper than argsort + per-array gathers
             # (XLA TPU gathers at element granularity are the bottleneck)
             key = _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
-                                bits=key_bits, dmajor=key_dmajor)
+                                bits=key_bits, dir_bits=key_dir_bits,
+                                dmajor=key_dmajor)
             ops = jax.lax.sort(
                 (key, *(pay[i] for i in range(9)), state, active, pix, pdy),
                 num_keys=1)
@@ -609,9 +638,11 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         state = state2.reshape(n)
         active = active2.reshape(n)
 
-    # color = atten * sky(primary dy) (tc.sky_times_atten, elementwise)
+    # color = atten * sky(primary dy) (tc.sky_times_atten, elementwise);
+    # sky_from_final_dir (extension) reads the final direction's y from the
+    # payload instead of the carried primary dy.
     atten = (pay[6], pay[7], pay[8])
-    col = tc.sky_times_atten(pdy, atten)
+    col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy, atten)
     color = jnp.stack(col)                               # (3, n)
     img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
     img = img.reshape(3, n_frames, height_pad, width_pad)

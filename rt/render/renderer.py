@@ -64,7 +64,8 @@ def render_color(scene, camera, config: RenderConfig, time):
         state, c = trace(intersect, lambda o, d, t, i: hit_rec(o, d, t, i),
                          state, origin, direction,
                          bounces=config.bounces,
-                         normalize_reflect_in=config.normalize_reflect_in)
+                         normalize_reflect_in=config.normalize_reflect_in,
+                         sky_from_final_dir=config.sky_from_final_dir)
         color = color + c
     return color / config.samples_per_frame
 

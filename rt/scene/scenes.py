@@ -54,9 +54,16 @@ def sph_dielectric(center, radius, ir):
     return (center, radius, (1.0, 1.0, 1.0), ir, MAT_DIELECTRIC)
 
 
-def _sphere_scene(name, objects, camera, width=512, height=512) -> SceneDef:
+def _sphere_scene(name, objects, camera, width=512, height=512,
+                  pad_to=None) -> SceneDef:
+    """pad_to defaults to the reference's MAX_SPHERES buffer; scenes past
+    that cap (the north-star cover scene) pad to the next multiple of 8."""
+    if pad_to is None:
+        from rt.config import MAX_SPHERES
+        pad_to = MAX_SPHERES if len(objects) <= MAX_SPHERES \
+            else -(-len(objects) // 8) * 8
     kinds = tuple(sorted({int(o[4]) for o in objects})) or (MAT_LAMBERTIAN,)
-    return SceneDef(name, "spheres", pack_spheres(objects), camera,
+    return SceneDef(name, "spheres", pack_spheres(objects, pad_to), camera,
                     RenderConfig.for_spheres(
                         width, height, n_active_spheres=len(objects),
                         mat_kinds=kinds))
@@ -113,6 +120,44 @@ def scene_sphere_globe(width=512, height=512, seed: int = 0) -> SceneDef:
                 else:
                     objs.append(sph_lambertian(pos, size, tuple(rng.random(3))))
     return _sphere_scene("sphere_globe", objs, cam, width, height)
+
+
+def scene_sphere_cover(width=1280, height=720, seed: int = 7) -> SceneDef:
+    """Scene 8 (extension) — the RTIOW "final scene" cover: ~490 random
+    small spheres on a checkerless ground + 3 hero spheres.
+
+    The reference caps scenes at MAX_OBJECT_IN_SCENE=100
+    (src/scene/scene_sphere.rs:15); this scene deliberately exceeds that cap
+    (BASELINE config 3 asks for the ~500-sphere cover at 1280x720) — the
+    sphere table moves to VMEM past 128 rows (rt/kernels/dispatch.py).
+    Deterministic: driven by a seeded numpy Generator, like the globe scene.
+    """
+    rng = np.random.default_rng(seed)
+    objs = [sph_lambertian((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))]
+    for a in range(-11, 11):
+        for b in range(-11, 11):
+            choose = rng.random()
+            center = np.array([a + 0.9 * rng.random(), 0.2,
+                               b + 0.9 * rng.random()], np.float32)
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            pos = tuple(center)
+            if choose < 0.8:
+                albedo = rng.random(3) * rng.random(3)
+                objs.append(sph_lambertian(pos, 0.2, tuple(albedo)))
+            elif choose < 0.95:
+                objs.append(sph_metal(pos, 0.2,
+                                      tuple(rng.uniform(0.5, 1.0, 3)),
+                                      rng.uniform(0.0, 0.5)))
+            else:
+                objs.append(sph_dielectric(pos, 0.2, 1.5))
+    objs += [
+        sph_dielectric((0.0, 1.0, 0.0), 1.0, 1.5),
+        sph_lambertian((-4.0, 1.0, 0.0), 1.0, (0.4, 0.2, 0.1)),
+        sph_metal((4.0, 1.0, 0.0), 1.0, (0.7, 0.6, 0.5), 0.0),
+    ]
+    cam = look_at((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), 10.0, 0.1, PI / 9.0)
+    return _sphere_scene("sphere_cover", objs, cam, width, height)
 
 
 def _tris_scene(name, meshes, camera, width=512, height=512) -> SceneDef:
@@ -179,11 +224,14 @@ SCENE_BY_ID = {
     5: scene_suzanne,
     6: scene_lucy,
     7: scene_dragon,
+    8: scene_sphere_cover,   # extension — exceeds the reference's 1-7 range
 }
 
 
 def build_scene(scene_id: int, width=512, height=512) -> SceneDef:
-    """Scene dispatch mirroring src/app.rs:47-55 (unknown ids -> simple)."""
+    """Scene dispatch mirroring src/app.rs:47-55 (unknown ids -> simple);
+    id 8 (the RTIOW cover scene) is an extension past the reference range
+    (the random fallback stays 1..=7, matching app.rs:36-41)."""
     return SCENE_BY_ID.get(scene_id, scene_sphere_simple)(width, height)
 
 

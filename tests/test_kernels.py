@@ -143,3 +143,11 @@ def test_render_frames_batched_equals_loop():
                        1000, 10, sd.config, 3)
     np.testing.assert_array_equal(np.asarray(s1.image), np.asarray(s2.image))
     assert int(s2.frame_count) == 3
+
+
+def test_cover_scene_vmem_table_matches_oracle():
+    """The ~490-sphere cover scene exceeds the SMEM table budget, so the
+    dispatch moves the sphere/kind tables to VMEM (same (dynamic row,
+    static column) scalar reads) — parity with the oracle must hold
+    through that path too."""
+    _compare(scenes.scene_sphere_cover(W, H), bounces=4, max_mae_pct=0.5)

@@ -12,8 +12,10 @@ from rt.scene import scenes
 
 
 def test_dispatch_map_mirrors_app():
-    """src/app.rs:47-55: ids 1-7; unknown ids fall back to the simple scene."""
-    assert set(scenes.SCENE_BY_ID) == set(range(1, 8))
+    """src/app.rs:47-55: ids 1-7 mirror the reference; 8 is our cover-scene
+    extension; unknown ids fall back to the simple scene."""
+    assert set(scenes.SCENE_BY_ID) == set(range(1, 9))
+    assert scenes.SCENE_BY_ID[8] is scenes.scene_sphere_cover
     sd = scenes.build_scene(99, 64, 32)
     assert sd.name == "sphere_simple"
 
@@ -79,3 +81,26 @@ def test_dragon_scene_scale():
     sd = scenes.scene_dragon(64, 32)
     assert sd.scene.m == 49976 + 12       # dragon_lp_20 + floor mesh
     assert sd.scene.n == 65536
+
+
+def test_cover_scene_exceeds_reference_cap():
+    """Scene 8 (RTIOW cover, BASELINE config 3): ~490 spheres, past the
+    reference's MAX_OBJECT_IN_SCENE=100 cap (scene_sphere.rs:15);
+    deterministic under its seed; all three material kinds present."""
+    from rt.config import (MAX_SPHERES, MAT_DIELECTRIC, MAT_LAMBERTIAN,
+                           MAT_METAL)
+    sd = scenes.scene_sphere_cover(64, 32)
+    n = sd.config.n_active_spheres
+    assert n > 4 * MAX_SPHERES            # ~490 objects
+    assert sd.scene.count % 8 == 0 and sd.scene.count >= n
+    assert sd.config.mat_kinds == (MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC)
+    # deterministic: same seed -> identical buffers
+    sd2 = scenes.scene_sphere_cover(64, 32)
+    np.testing.assert_array_equal(np.asarray(sd.scene.center),
+                                  np.asarray(sd2.scene.center))
+    # hero spheres present at the end (RTIOW: glass/diffuse/metal at y=1)
+    c = np.asarray(sd.scene.center)[:n]
+    assert [4.0, 1.0, 0.0] in c.tolist() and [-4.0, 1.0, 0.0] in c.tolist()
+    # camera: RTIOW final-scene framing
+    np.testing.assert_allclose(np.asarray(sd.camera.eye)[:3], [13.0, 2.0, 3.0])
+    assert sd.config.width == 64 and sd.config.height == 32
