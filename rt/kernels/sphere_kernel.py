@@ -31,15 +31,97 @@ from rt.kernels import tracer_common as tc
 SPH_COLS = 8
 
 
+def _sphere_bounce(sph_ref, kind_ref, zero, one, carry, *, n_spheres: int,
+                   th: int, tw: int, normalize_reflect_in: bool,
+                   has_metal: bool, has_dielectric: bool,
+                   track_idx: bool = False):
+    """One bounce over a tile: closest-hit sphere scan + scatter.  Returns
+    (state, o, d, atten, active[, winning sphere index when track_idx —
+    -1 on miss, for the path-replay gradient recorder])."""
+    state, o, d, atten, active = carry
+
+    # ray-constant quadratic terms hoisted out of the sphere loop (d is
+    # fixed within a bounce); the 2x/4x multiples are exact exponent
+    # shifts, so disc and t round identically to the in-loop form
+    a = pm.dot3(d, d)
+    two_a = 2.0 * a
+    four_a = 4.0 * a
+    izero = jnp.zeros((th, tw), jnp.int32)
+
+    # ---- closest-hit scan over the sphere table ----------------------
+    def scan_sphere(si, best):
+        # the index plane exists only in the recording variant — the hot
+        # render path's loop carry stays unchanged
+        bt, bc, br, bal, bpar, bkind = best[:6]
+        bidx = best[6] if track_idx else None
+        c = (zero + sph_ref[si, 0], zero + sph_ref[si, 1],
+             zero + sph_ref[si, 2])
+        r = sph_ref[si, 3]
+        oc = pm.sub3(o, c)
+        b = 2.0 * pm.dot3(oc, d)
+        cc = pm.dot3(oc, oc) - r * r
+        disc = b * b - four_a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-b - sq) / two_a
+        t = jnp.where(disc < 0.0, jnp.float32(-1.0), t)
+        better = (t > 0.0) & (t < bt)
+        sel = lambda new, old: jnp.where(better, new, old)
+        out = (sel(t, bt),
+               pm.where3(better, c, bc),
+               sel(zero + r, br),
+               pm.where3(better, (zero + sph_ref[si, 4],
+                                  zero + sph_ref[si, 5],
+                                  zero + sph_ref[si, 6]), bal),
+               sel(zero + sph_ref[si, 7], bpar),
+               jnp.where(better, izero + kind_ref[si, 0], bkind))
+        if track_idx:
+            out += (jnp.where(better, izero + si, bidx),)
+        return out
+
+    best0 = (zero + FLT_MAX, (zero, zero, zero), one,
+             (zero, zero, zero), zero, izero)
+    if track_idx:
+        best0 += (izero - 1,)
+    best = jax.lax.fori_loop(0, n_spheres, scan_sphere, best0)
+    bt, bc, br, bal, bpar, bkind = best[:6]
+    bidx = best[6] if track_idx else None
+
+    hit = (active > 0) & (bt != FLT_MAX)
+
+    # ---- hit record (shader_sphere.wgsl:148-154) ---------------------
+    point = pm.add3(o, pm.scale3(d, bt))
+    normal = ((point[0] - bc[0]) / br, (point[1] - bc[1]) / br,
+              (point[2] - bc[2]) / br)
+    front_face = pm.dot3(d, normal) < 0.0
+    normal = pm.where3(front_face, normal, pm.neg3(normal))
+
+    ns, nd = tc.scatter(state, d, point, normal, front_face, bal, bpar,
+                        bkind, normalize_reflect_in=normalize_reflect_in,
+                        has_metal=has_metal,
+                        has_dielectric=has_dielectric)
+
+    state = jnp.where(hit, ns, state)
+    o = pm.where3(hit, point, o)
+    d = pm.where3(hit, nd, d)
+    atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
+    out = (state, o, d, atten, hit.astype(jnp.int32))
+    if track_idx:
+        return out + (jnp.where(hit, bidx, izero - 1),)
+    return out
+
+
+def _tile_coords(ti, tj, *, th: int, tw: int):
+    y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+    x_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+    return x_i, y_i
+
+
 def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
             n_spheres: int, height: int, width: int, th: int, tw: int,
             bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
             has_dielectric: bool = True, sky_from_final_dir: bool = False):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
-    x_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
+    x_i, y_i = _tile_coords(pl.program_id(0), pl.program_id(1), th=th, tw=tw)
     x_f = x_i.astype(jnp.float32)
     y_f = y_i.astype(jnp.float32)
     x_u = x_i.astype(jnp.uint32)
@@ -60,71 +142,14 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
     active = jnp.ones((th, tw), jnp.int32)  # i32 mask: bool carries fail
                                             # to legalize in Mosaic scf.for
 
+    body = functools.partial(
+        _sphere_bounce, sph_ref, kind_ref, zero, one, n_spheres=n_spheres,
+        th=th, tw=tw, normalize_reflect_in=normalize_reflect_in,
+        has_metal=has_metal, has_dielectric=has_dielectric)
+
     def bounce(_, carry):
         # whole-tile early exit once every lane has escaped to the sky
-        return jax.lax.cond(jnp.any(carry[4] > 0), _bounce_body,
-                            lambda c: c, carry)
-
-    def _bounce_body(carry):
-        state, o, d, atten, active = carry
-
-        # ray-constant quadratic terms hoisted out of the sphere loop (d is
-        # fixed within a bounce); the 2x/4x multiples are exact exponent
-        # shifts, so disc and t round identically to the in-loop form
-        a = pm.dot3(d, d)
-        two_a = 2.0 * a
-        four_a = 4.0 * a
-
-        # ---- closest-hit scan over the sphere table ----------------------
-        def scan_sphere(si, best):
-            bt, bc, br, bal, bpar, bkind = best
-            c = (zero + sph_ref[si, 0], zero + sph_ref[si, 1],
-                 zero + sph_ref[si, 2])
-            r = sph_ref[si, 3]
-            oc = pm.sub3(o, c)
-            b = 2.0 * pm.dot3(oc, d)
-            cc = pm.dot3(oc, oc) - r * r
-            disc = b * b - four_a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t = (-b - sq) / two_a
-            t = jnp.where(disc < 0.0, jnp.float32(-1.0), t)
-            better = (t > 0.0) & (t < bt)
-            sel = lambda new, old: jnp.where(better, new, old)
-            return (sel(t, bt),
-                    pm.where3(better, c, bc),
-                    sel(zero + r, br),
-                    pm.where3(better, (zero + sph_ref[si, 4],
-                                       zero + sph_ref[si, 5],
-                                       zero + sph_ref[si, 6]), bal),
-                    sel(zero + sph_ref[si, 7], bpar),
-                    jnp.where(better, jnp.zeros((th, tw), jnp.int32)
-                              + kind_ref[si, 0],
-                              bkind))
-
-        best0 = (zero + FLT_MAX, (zero, zero, zero), one,
-                 (zero, zero, zero), zero, jnp.zeros((th, tw), jnp.int32))
-        bt, bc, br, bal, bpar, bkind = jax.lax.fori_loop(
-            0, n_spheres, scan_sphere, best0)
-
-        hit = (active > 0) & (bt != FLT_MAX)
-
-        # ---- hit record (shader_sphere.wgsl:148-154) ---------------------
-        point = pm.add3(o, pm.scale3(d, bt))
-        normal = ((point[0] - bc[0]) / br, (point[1] - bc[1]) / br,
-                  (point[2] - bc[2]) / br)
-        front_face = pm.dot3(d, normal) < 0.0
-        normal = pm.where3(front_face, normal, pm.neg3(normal))
-
-        ns, nd = tc.scatter(state, d, point, normal, front_face, bal, bpar,
-                            bkind, normalize_reflect_in=normalize_reflect_in,
-                            has_metal=has_metal,
-                            has_dielectric=has_dielectric)
-
-        state = jnp.where(hit, ns, state)
-        o = pm.where3(hit, point, o)
-        d = pm.where3(hit, nd, d)
-        atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
-        return state, o, d, atten, hit.astype(jnp.int32)
+        return jax.lax.cond(jnp.any(carry[4] > 0), body, lambda c: c, carry)
 
     state, o, d, atten, active = jax.lax.fori_loop(
         0, bounces, bounce, (state, o, d, atten, active))
@@ -185,5 +210,97 @@ def render_color_spheres(sph_table, kind_table, cam_row, time, *,
         ],
         out_specs=pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sph_table, kind_table, cam_row, time)
+
+
+def _kernel_record(sph_ref, kind_ref, cam_ref, time_ref, out_ref, idx_ref, *,
+                   n_spheres: int, height: int, width: int, th: int, tw: int,
+                   bounces: int, normalize_defocus_dir: bool,
+                   normalize_reflect_in: bool, has_metal: bool = True,
+                   has_dielectric: bool = True,
+                   sky_from_final_dir: bool = False):
+    """Recording variant for path-replay gradients (rt/grad/replay.py):
+    identical transport to _kernel, but additionally writes the winning
+    sphere index per bounce (-1 on miss) into idx_ref[(bounces, th, tw)].
+    The bounce loop is Python-unrolled so every store has a static bounce
+    index (no dynamic-leading-dim stores to lower), and index tracking adds
+    one select per sphere — costs the recorder pays so the render-only
+    kernel stays untouched."""
+    x_i, y_i = _tile_coords(pl.program_id(0), pl.program_id(1), th=th, tw=tw)
+    state, o, d4 = tc.generate_rays(
+        lambda c: cam_ref[0, c],
+        x_i.astype(jnp.float32), y_i.astype(jnp.float32),
+        x_i.astype(jnp.uint32), y_i.astype(jnp.uint32),
+        height=height, width=width, time=time_ref[0, 0],
+        normalize_defocus_dir=normalize_defocus_dir)
+    d = (d4[0], d4[1], d4[2])
+    primary_dy = d4[1]
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    one = zero + 1.0
+    carry = (state, o, d, (one, one, one), jnp.ones((th, tw), jnp.int32))
+
+    body = functools.partial(
+        _sphere_bounce, sph_ref, kind_ref, zero, one, n_spheres=n_spheres,
+        th=th, tw=tw, normalize_reflect_in=normalize_reflect_in,
+        has_metal=has_metal, has_dielectric=has_dielectric, track_idx=True)
+
+    for b in range(bounces):
+        *carry, bidx = body(carry)
+        carry = tuple(carry)
+        idx_ref[b] = bidx
+
+    state, o, d, atten, active = carry
+    col = tc.sky_times_atten(d[1] if sky_from_final_dir else primary_dy,
+                             atten)
+    out_ref[0] = col[0]
+    out_ref[1] = col[1]
+    out_ref[2] = col[2]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_spheres", "height", "width", "height_pad", "width_pad", "bounces",
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw",
+    "has_metal", "has_dielectric", "table_in_vmem", "sky_from_final_dir",
+    "interpret"))
+def render_color_spheres_record(sph_table, kind_table, cam_row, time, *,
+                                n_spheres: int, height: int, width: int,
+                                height_pad: int, width_pad: int,
+                                bounces: int, normalize_defocus_dir: bool,
+                                normalize_reflect_in: bool, th: int = 16,
+                                tw: int = 256, has_metal: bool = True,
+                                has_dielectric: bool = True,
+                                table_in_vmem: bool = False,
+                                sky_from_final_dir: bool = False,
+                                interpret: bool = False):
+    """(color (3, Hp, Wp) f32, hit indices (bounces, Hp, Wp) i32) — the
+    forward render plus the per-bounce winning sphere index stream that
+    the path-replay backward (rt/grad/replay.py) consumes."""
+    grid = (height_pad // th, width_pad // tw)
+    kernel = functools.partial(
+        _kernel_record, n_spheres=n_spheres, height=height, width=width,
+        th=th, tw=tw, bounces=bounces,
+        normalize_defocus_dir=normalize_defocus_dir,
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir)
+    table_space = pltpu.VMEM if table_in_vmem else pltpu.SMEM
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((3, height_pad, width_pad),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((bounces, height_pad, width_pad),
+                                        jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=table_space),  # sphere table
+            pl.BlockSpec(memory_space=table_space),  # kinds
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # time
+        ],
+        out_specs=(pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bounces, th, tw), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(sph_table, kind_table, cam_row, time)

@@ -78,16 +78,26 @@ def _tile_rays(cam_ref, time, ti, tj, *, th: int, tw: int, height: int,
 def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                   chunk: int, n_chunks: int, n_mats: int,
                   normalize_reflect_in: bool, has_metal: bool,
-                  has_dielectric: bool, order_base=0, unroll: int = 1):
+                  has_dielectric: bool, order_base=0, unroll: int = 1,
+                  track_idx: bool = False):
     """One path-trace bounce over a tile of rays: front-to-back chunk-culled
     closest-hit scan, once-per-bounce material resolve, scatter.  Shared by
     the monolithic whole-frame kernel and the wavefront per-bounce kernel —
-    identical arithmetic, so the two backends agree per-ray."""
+    identical arithmetic, so the two backends agree per-ray.
+
+    track_idx (recording variant only): additionally returns the winning
+    triangle index in the Morton-clustered table order (-1 on miss) for the
+    path-replay gradient recorder — one extra select per pair that the hot
+    render path never pays."""
     state, o, d, atten, active = carry
     inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+    izero = jnp.zeros_like(active)
 
     def scan_tri(k, best):
-        bt, bnrm, bmid = best
+        # the index plane exists only in the recording variant — the hot
+        # render path's loop carry stays 5 planes wide
+        bt, bnrm, bmid = best[:3]
+        btid = best[3] if track_idx else None
         # Möller–Trumbore (shader_tris.wgsl:161-202); e1/e2 precomputed
         # at pack time (identical f32 subtracts — bit-equal to deriving
         # them in-lane), consumed as scalar broadcasts.
@@ -110,11 +120,14 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
         valid &= (u >= 0.0) & (u <= 1.0)
         valid &= (v >= 0.0) & (u + v <= 1.0)
         valid &= (t >= EPSILON_TRIS) & (t < bt)
-        return (jnp.where(valid, t, bt),
-                pm.where3(valid, (zero + tri_ref[k, 9],
-                                  zero + tri_ref[k, 10],
-                                  zero + tri_ref[k, 11]), bnrm),
-                jnp.where(valid, zero + tri_ref[k, 12], bmid))
+        out = (jnp.where(valid, t, bt),
+               pm.where3(valid, (zero + tri_ref[k, 9],
+                                 zero + tri_ref[k, 10],
+                                 zero + tri_ref[k, 11]), bnrm),
+               jnp.where(valid, zero + tri_ref[k, 12], bmid))
+        if track_idx:
+            out += (jnp.where(valid, izero + k, btid),)
+        return out
 
     def scan_chunk(oi, best):
         # visit chunks approximately front-to-back (order precomputed from
@@ -159,8 +172,11 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
         return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
 
     best0 = (zero + FLT_MAX, (zero, zero, zero), zero)
-    bt, bnrm, bmid = jax.lax.fori_loop(
-        0, n_chunks, scan_chunk, best0)
+    if track_idx:
+        best0 += (izero - 1,)
+    best = jax.lax.fori_loop(0, n_chunks, scan_chunk, best0)
+    bt, bnrm, bmid = best[:3]
+    btid = best[3] if track_idx else None
 
     hit = (active > 0) & (bt != FLT_MAX)
 
@@ -195,7 +211,10 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
     o = pm.where3(hit, point, o)
     d = pm.where3(hit, nd, d)
     atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
-    return state, o, d, atten, hit.astype(jnp.int32)
+    out = (state, o, d, atten, hit.astype(jnp.int32))
+    if track_idx:
+        return out + (jnp.where(hit, btid, izero - 1),)
+    return out
 
 
 def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
@@ -647,3 +666,96 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
     img = img.reshape(3, n_frames, height_pad, width_pad)
     return jnp.moveaxis(img, 1, 0)                       # (F, 3, Hp, Wp)
+
+
+def _kernel_record(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
+                   out_ref, idx_ref, *,
+                   m: int, n_chunks: int, chunk: int, n_mats: int,
+                   height: int, width: int, th: int, tw: int, bounces: int,
+                   normalize_defocus_dir: bool, normalize_reflect_in: bool,
+                   has_metal: bool = True, has_dielectric: bool = True,
+                   sky_from_final_dir: bool = False):
+    """Recording variant of the monolithic kernel for path-replay gradients
+    (rt/grad/replay.py): same transport, plus the winning triangle index
+    per bounce (-1 on miss, Morton-clustered table order) in idx_ref.
+    Bounce loop Python-unrolled so every idx store has a static index."""
+    state, o, d, primary_dy = _tile_rays(
+        cam_ref, time_ref[0, 0], pl.program_id(0), pl.program_id(1), th=th,
+        tw=tw, height=height, width=width,
+        normalize_defocus_dir=normalize_defocus_dir)
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    one = zero + 1.0
+    carry = (state, o, d, (one, one, one), jnp.ones((th, tw), jnp.int32))
+
+    trace1 = functools.partial(
+        _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
+        chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric, track_idx=True)
+
+    for b in range(bounces):
+        *carry, btid = trace1(carry)
+        carry = tuple(carry)
+        idx_ref[b] = btid
+
+    state, o, d, atten, active = carry
+    col = tc.sky_times_atten(d[1] if sky_from_final_dir else primary_dy,
+                             atten)
+    out_ref[0] = col[0]
+    out_ref[1] = col[1]
+    out_ref[2] = col[2]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "height_pad", "width_pad", "bounces",
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
+    "has_metal", "has_dielectric", "sky_from_final_dir", "interpret"))
+def render_color_tris_record(scene, cam_row, time, *, height: int,
+                             width: int, height_pad: int, width_pad: int,
+                             bounces: int, normalize_defocus_dir: bool,
+                             normalize_reflect_in: bool,
+                             th: int = 8, tw: int = 256, chunk: int = CHUNK,
+                             has_metal: bool = True,
+                             has_dielectric: bool = True,
+                             sky_from_final_dir: bool = False,
+                             interpret: bool = False):
+    """(color (3, Hp, Wp) f32, hit indices (bounces, Hp, Wp) i32, morton
+    order (m,) i32) — forward render plus the per-bounce winning triangle
+    index stream (in Morton-clustered TABLE order; the returned ``order``
+    array maps table rows back to scene triangle ids for the replay)."""
+    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    morton = _morton_order((scene.a + scene.b + scene.c) / 3.0)
+    eye = cam_row[0, 0:3]
+    centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
+    dist = jnp.sum((centroid - eye) ** 2, axis=1)
+    order = jnp.argsort(dist).astype(jnp.int32)[:, None]
+    grid = (height_pad // th, width_pad // tw)
+    kernel = functools.partial(
+        _kernel_record, m=m, n_chunks=n_chunks, chunk=chunk,
+        n_mats=mats.shape[0], height=height, width=width, th=th, tw=tw,
+        bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
+        normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
+        has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir)
+    color, idx = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((3, height_pad, width_pad),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((bounces, height_pad, width_pad),
+                                        jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # material table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk visit order
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # time
+        ],
+        out_specs=(pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bounces, th, tw), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(tab, mats, chunks, order, cam_row, time)
+    return color, idx, morton.astype(jnp.int32)

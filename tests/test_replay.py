@@ -1,0 +1,167 @@
+"""Path-replay backprop tests (rt/grad/replay.py — the TPU-fast
+differentiable path): recorder parity, replay-forward parity, and gradient
+equality with the full differentiable renderer at the recording point."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rt.grad import SphereParams, apply_params, image_mse
+from rt.grad.diff_render import render_color_diff
+from rt.grad.replay import (record_hits_oracle, record_hits_pallas,
+                            replay_color, replay_loss_fn)
+from rt.render.renderer import render_color
+from rt.scene import scenes
+
+W, H = 64, 32
+
+
+def _cfg(sd, bounces=3, **kw):
+    return dataclasses.replace(
+        sd, config=dataclasses.replace(sd.config, bounces=bounces, **kw))
+
+
+def test_record_oracle_color_matches_forward():
+    sd = _cfg(scenes.test_scene_metal(W, H))
+    t = jnp.uint32(1000)
+    color, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    ref = render_color(sd.scene, sd.camera, sd.config, t)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref),
+                               atol=1e-6, rtol=0)
+    assert hits.shape == (3, H, W)
+    assert int(hits.max()) >= 0 and int(hits.min()) == -1
+
+
+@pytest.mark.parametrize("builder", [scenes.test_scene_metal,
+                                     scenes.test_scene_complex])
+def test_replay_forward_matches_oracle_spheres(builder):
+    """Replaying the recorded hit stream reproduces the forward render —
+    the same (t, normal, scatter) chain restricted to the known winner."""
+    sd = _cfg(builder(W, H))
+    t = jnp.uint32(1000)
+    ref, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    img = replay_color(sd.scene, sd.camera, sd.config, t, hits)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=2e-5, rtol=0)
+
+
+def test_replay_forward_matches_oracle_triangles():
+    sd = _cfg(scenes.scene_cube(W, H), bounces=2)
+    t = jnp.uint32(1000)
+    ref, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    img = replay_color(sd.scene, sd.camera, sd.config, t, hits)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=2e-5, rtol=0)
+
+
+def test_record_pallas_matches_oracle_spheres():
+    """The recording kernel's color equals the render kernel's exactly, and
+    its hit ids agree with the oracle's except FMA-contraction branch flips
+    (bounded like the kernel parity tests)."""
+    from rt.kernels.dispatch import render_color as k_render
+    sd = _cfg(scenes.test_scene_metal(W, H))
+    t = jnp.uint32(1000)
+    color, hits = record_hits_pallas(sd.scene, sd.camera, sd.config, t,
+                                     interpret=True)
+    kcolor = k_render(sd.scene, sd.camera, sd.config, t, interpret=True)
+    np.testing.assert_array_equal(np.asarray(color), np.asarray(kcolor))
+    _, ohits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    agree = (np.asarray(hits) == np.asarray(ohits)).mean()
+    assert agree > 0.95, f"hit-id agreement {agree:.3f}"
+
+
+def test_record_pallas_matches_oracle_triangles():
+    from rt.kernels.dispatch import render_color as k_render
+    sd = _cfg(scenes.scene_cube(W, H), bounces=2)
+    t = jnp.uint32(1000)
+    color, hits = record_hits_pallas(sd.scene, sd.camera, sd.config, t,
+                                     interpret=True)
+    cfg_m = dataclasses.replace(sd.config, backend="pallas_mono")
+    kcolor = k_render(sd.scene, sd.camera, cfg_m, t, interpret=True)
+    np.testing.assert_array_equal(np.asarray(color), np.asarray(kcolor))
+    _, ohits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    agree = (np.asarray(hits) == np.asarray(ohits)).mean()
+    assert agree > 0.95, f"hit-id agreement {agree:.3f}"
+
+
+def test_replay_grads_match_diff_renderer_albedo():
+    """At the recording point the replay loss and the full differentiable
+    renderer take identical branches, so their albedo gradients agree."""
+    sd = _cfg(scenes.test_scene_metal(W, H))
+    t = jnp.uint32(1000)
+    target = render_color_diff(sd.scene, sd.camera, sd.config,
+                               jnp.uint32(2000))
+    _, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+
+    rloss = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t)
+
+    def dloss(p):
+        sc = apply_params(sd.scene, p)
+        img = render_color_diff(sc, sd.camera, sd.config, t)
+        return image_mse(img, target)
+
+    p0 = SphereParams.from_scene(sd.scene, albedo=True, mat_param=True)
+    g_r = jax.grad(lambda p: rloss(p))(p0)
+    g_d = jax.grad(dloss)(p0)
+    np.testing.assert_allclose(np.asarray(g_r.albedo), np.asarray(g_d.albedo),
+                               atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_r.mat_param),
+                               np.asarray(g_d.mat_param),
+                               atol=1e-6, rtol=1e-4)
+
+
+def test_replay_grads_match_diff_renderer_geometry():
+    """Geometry gradients through the replay graph equal the full renderer's
+    under the final-dir-sky transport (the mode where they are nonzero)."""
+    sd = _cfg(scenes.test_scene_metal(W, H), sky_from_final_dir=True)
+    t = jnp.uint32(1000)
+    target = render_color_diff(sd.scene, sd.camera, sd.config,
+                               jnp.uint32(2000))
+    _, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+
+    rloss = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t)
+
+    def dloss(p):
+        sc = apply_params(sd.scene, p)
+        img = render_color_diff(sc, sd.camera, sd.config, t)
+        return image_mse(img, target)
+
+    p0 = SphereParams.from_scene(sd.scene, albedo=False, center=True,
+                                 radius=True)
+    g_r = jax.grad(lambda p: rloss(p))(p0)
+    g_d = jax.grad(dloss)(p0)
+    assert float(jnp.max(jnp.abs(g_r.center))) > 0.0
+    np.testing.assert_allclose(np.asarray(g_r.center), np.asarray(g_d.center),
+                               atol=5e-6, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_r.radius), np.asarray(g_d.radius),
+                               atol=5e-6, rtol=2e-3)
+
+
+def test_replay_train_step_runs():
+    """One optimization step on the replay objective (the BASELINE config 5
+    train-step shape: record once, step on the frozen-path loss)."""
+    import optax
+    sd = _cfg(scenes.test_scene_metal(W, H))
+    t = jnp.uint32(1000)
+    target, _ = record_hits_oracle(sd.scene, sd.camera, sd.config,
+                                   jnp.uint32(2000))
+    _, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    loss = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t)
+
+    params = SphereParams.from_scene(sd.scene, albedo=True)
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+
+    @jax.jit
+    def step(params, st):
+        l, g = jax.value_and_grad(lambda p: loss(p))(params)
+        upd, st = opt.update(g, st, params)
+        return optax.apply_updates(params, upd), st, l
+
+    p1, st, l0 = step(params, st)
+    p2, st, l1 = step(p1, st)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    assert float(l1) < float(l0)

@@ -1,0 +1,139 @@
+"""On-chip parity gate (VERDICT r1 item 7): one command that validates the
+COMPILED TPU kernels — not interpret mode — against the reference goldens
+and the cross-backend invariants, and writes TPUCHECK_r{N}.json.
+
+Checks:
+ 1. golden metric: 1-frame 512x512 metal_materials via the Pallas sphere
+    kernel vs the reference repo's golden PPM (<= 2%, the reference's own
+    bound: tests/rendering_tests.rs:11) and vs the CPU-oracle image
+    (tight bound — FMA-contraction branch flips only);
+ 2. wave == mono: the wavefront triangle backend against the monolithic
+    kernel on suzanne 128x128 b4, bitwise;
+ 3. record == render: the recording sphere kernel's color plane against the
+    render kernel, bitwise; recorded hit fraction sanity.
+
+Usage: python tools/tpucheck.py [--out TPUCHECK_r02.json]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def golden_metric(a_u8, b_u8):
+    return float(np.abs(a_u8.astype(np.float64)
+                        - b_u8.astype(np.float64)).mean() / 255.0 * 100.0)
+
+
+def to_u8(img):
+    # the reference PPM path: linear * 255, `as u8` saturating
+    v = np.asarray(img) * 255.0
+    v = np.where(np.isnan(v), 0.0, np.clip(v, 0.0, 255.0))
+    return v.astype(np.uint8)
+
+
+def parse_ppm(text):
+    toks = text.split()
+    assert toks[0] == "P3"
+    w, h = int(toks[1]), int(toks[2])
+    vals = np.array(toks[4:], dtype=np.int64).reshape(h, w, 3)
+    return vals.astype(np.uint8)
+
+
+def cpu_oracle_image(scene_name, w, h, time):
+    """Render via the oracle in a CPU subprocess (this process owns the TPU
+    platform; JAX_PLATFORMS is decided at init)."""
+    code = f"""
+import numpy as np, jax.numpy as jnp
+from rt.scene import scenes
+from rt.render.renderer import render_color
+sd = scenes.GOLDEN_SCENES[{scene_name!r}]({w}, {h})
+img = np.asarray(render_color(sd.scene, sd.camera, sd.config,
+                              jnp.uint32({time})))
+np.save("/tmp/tpucheck_oracle.npy", img)
+"""
+    env = dict(__import__("os").environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=1200)
+    return np.load("/tmp/tpucheck_oracle.npy")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="TPUCHECK_r02.json")
+    args = p.parse_args(argv)
+
+    from rt.kernels.dispatch import render_color as k_render
+    from rt.grad.replay import record_hits_pallas
+    from rt.scene import scenes
+
+    platform = jax.devices()[0].platform
+    results = {"platform": platform, "checks": {}}
+    ok_all = True
+
+    # ---- 1. golden metric on-chip ----------------------------------------
+    sd = scenes.GOLDEN_SCENES["metal_materials"](512, 512)
+    cfg = dataclasses.replace(sd.config, backend="pallas")
+    t = jnp.uint32(1000)
+    img = np.asarray(k_render(sd.scene, sd.camera, cfg, t))
+    golden = parse_ppm(open("tests/golden/metal_materials.ppm").read())
+    pct_golden = golden_metric(to_u8(img), golden)
+    oracle = cpu_oracle_image("metal_materials", 512, 512, 1000)
+    pct_oracle = golden_metric(to_u8(img), to_u8(oracle))
+    flips = float((np.abs(img - oracle).max(-1) > 1e-6).mean())
+    c1 = {"golden_pct": pct_golden, "oracle_pct": pct_oracle,
+          "oracle_flip_frac": flips,
+          "pass": pct_golden <= 2.0 and pct_oracle <= 0.3}
+    results["checks"]["sphere_kernel_golden_512"] = c1
+    ok_all &= c1["pass"]
+    print(f"1. sphere golden: {pct_golden:.4f}% vs golden, "
+          f"{pct_oracle:.4f}% vs oracle, {flips:.3%} flips "
+          f"-> {'PASS' if c1['pass'] else 'FAIL'}", flush=True)
+
+    # ---- 2. wave == mono bitwise on-chip ----------------------------------
+    sd = scenes.scene_suzanne(128, 128)
+    cfg_m = dataclasses.replace(sd.config, bounces=4, backend="pallas_mono")
+    cfg_w = dataclasses.replace(cfg_m, backend="pallas_wave")
+    a = np.asarray(k_render(sd.scene, sd.camera, cfg_m, t))
+    b = np.asarray(k_render(sd.scene, sd.camera, cfg_w, t))
+    eq = bool((a == b).all())
+    ndiff = int((a != b).sum())
+    c2 = {"bitwise_equal": eq, "n_diff": ndiff, "pass": eq}
+    results["checks"]["wave_equals_mono_128"] = c2
+    ok_all &= c2["pass"]
+    print(f"2. wave==mono 128^2 b4: {'BITWISE EQUAL' if eq else f'{ndiff} diffs'} "
+          f"-> {'PASS' if eq else 'FAIL'}", flush=True)
+
+    # ---- 3. record kernel == render kernel --------------------------------
+    sd = scenes.GOLDEN_SCENES["metal_materials"](512, 512)
+    cfg = dataclasses.replace(sd.config, backend="pallas")
+    rc, hits = record_hits_pallas(sd.scene, sd.camera, cfg, t)
+    rc = np.asarray(rc)
+    eq3 = bool((rc == img).all())
+    hit_frac = float((np.asarray(hits[0]) >= 0).mean())
+    c3 = {"bitwise_equal": eq3, "bounce0_hit_frac": hit_frac,
+          "pass": eq3 and 0.2 < hit_frac < 1.0}
+    results["checks"]["record_equals_render_512"] = c3
+    ok_all &= c3["pass"]
+    print(f"3. record==render: {'BITWISE EQUAL' if eq3 else 'DIFFERS'}, "
+          f"hit frac b0 {hit_frac:.3f} -> {'PASS' if c3['pass'] else 'FAIL'}",
+          flush=True)
+
+    results["pass"] = bool(ok_all)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}: {'PASS' if ok_all else 'FAIL'}", flush=True)
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
