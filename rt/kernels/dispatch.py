@@ -92,7 +92,9 @@ def render_color(scene, camera, config: RenderConfig, time,
                 bounces=config.bounces,
                 normalize_defocus_dir=config.normalize_defocus_dir,
                 normalize_reflect_in=config.normalize_reflect_in,
-                th=th, tw=tw, chunk=32, has_metal=has_metal,
+                # unroll=4: +30% measured on-chip (ILP between the
+                # serialized best-t select chains) — PERF.md r2 knobs
+                th=th, tw=tw, chunk=32, unroll=4, has_metal=has_metal,
                 has_dielectric=has_dielectric,
                 sky_from_final_dir=config.sky_from_final_dir,
                 interpret=interpret)
@@ -146,7 +148,8 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
         # re-sort every 2 bounces: halves the sort + payload-roundtrip
         # count for ~10% over per-bounce sorting (PERF.md)
         sort_every=2,
-        th=th, tw=tw, chunk=32,
+        # unroll=4: +30% measured on-chip (PERF.md r2 knob sweep)
+        th=th, tw=tw, chunk=32, unroll=4,
         has_metal=MAT_METAL in config.mat_kinds,
         has_dielectric=MAT_DIELECTRIC in config.mat_kinds,
         sky_from_final_dir=config.sky_from_final_dir,

@@ -79,7 +79,7 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                   chunk: int, n_chunks: int, n_mats: int,
                   normalize_reflect_in: bool, has_metal: bool,
                   has_dielectric: bool, order_base=0, unroll: int = 1,
-                  track_idx: bool = False):
+                  unroll_tree: bool = False, track_idx: bool = False):
     """One path-trace bounce over a tile of rays: front-to-back chunk-culled
     closest-hit scan, once-per-bounce material resolve, scatter.  Shared by
     the monolithic whole-frame kernel and the wavefront per-bounce kernel —
@@ -156,6 +156,28 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
         live = (active > 0) & enter
         lo = ci * chunk
 
+        def tri_candidate(k, bt):
+            # scan_tri's M-T against a STALE best bound — candidates are
+            # mutually independent, so the VPU can overlap their whole
+            # computation; the merge below restores exact sequential
+            # semantics (strict <, ascending index wins ties) bit-for-bit.
+            e1 = (tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5])
+            e2 = (tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8])
+            h = pm.cross3(d, e2)
+            det = pm.dot3(e1, h)
+            inv_det = 1.0 / det
+            s = (o[0] - tri_ref[k, 0], o[1] - tri_ref[k, 1],
+                 o[2] - tri_ref[k, 2])
+            u = inv_det * pm.dot3(s, h)
+            q = pm.cross3(s, e1)
+            v = inv_det * pm.dot3(d, q)
+            t = inv_det * pm.dot3(e2, q)
+            valid = (jnp.abs(det) >= EPSILON_TRIS)
+            valid &= (u >= 0.0) & (u <= 1.0)
+            valid &= (v >= 0.0) & (u + v <= 1.0)
+            valid &= (t >= EPSILON_TRIS) & (t < bt)
+            return valid, t
+
         def do(best):
             # static trip count; the table is zero-padded to a chunk
             # multiple, so padding triangles are degenerate (det == 0).
@@ -167,7 +189,29 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                     b = scan_tri(lo + kk * unroll + uu, b)
                 return b
 
-            return jax.lax.fori_loop(0, chunk // unroll, body, best)
+            def body_tree(kk, b):
+                base = lo + kk * unroll
+                cands = [tri_candidate(base + uu, b[0])
+                         for uu in range(unroll)]
+                for uu, (valid, t) in enumerate(cands):
+                    k = base + uu
+                    bt, bnrm, bmid = b[:3]
+                    # t < bt_run subsumes the stale bound; predicates equal
+                    # the sequential scan's exactly
+                    better = valid & (t < bt)
+                    nb = (jnp.where(better, t, bt),
+                          pm.where3(better, (zero + tri_ref[k, 9],
+                                             zero + tri_ref[k, 10],
+                                             zero + tri_ref[k, 11]), bnrm),
+                          jnp.where(better, zero + tri_ref[k, 12], bmid))
+                    if track_idx:
+                        nb += (jnp.where(better, izero + k, b[3]),)
+                    b = nb
+                return b
+
+            return jax.lax.fori_loop(0, chunk // unroll,
+                                     body_tree if unroll_tree else body,
+                                     best)
 
         return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
 
@@ -224,7 +268,7 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
             has_dielectric: bool = True, sky_from_final_dir: bool = False,
-            unroll: int = 1):
+            unroll: int = 1, unroll_tree: bool = False):
     """Monolithic whole-frame kernel: raygen + all bounces in one launch."""
     state, o, d, primary_dy = _tile_rays(
         cam_ref, time_ref[0, 0], pl.program_id(0), pl.program_id(1), th=th,
@@ -240,7 +284,8 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
         _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric, unroll=unroll)
+        has_dielectric=has_dielectric, unroll=unroll,
+        unroll_tree=unroll_tree)
 
     def bounce(_, carry):
         # whole-tile early exit: once every lane has escaped to the sky the
@@ -341,13 +386,14 @@ def pack_tri_table(scene, chunk: int = CHUNK):
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
-    "interpret"))
+    "unroll_tree", "interpret"))
 def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       height_pad: int, width_pad: int, bounces: int,
                       normalize_defocus_dir: bool, normalize_reflect_in: bool,
                       th: int = 8, tw: int = 256, chunk: int = CHUNK,
                       has_metal: bool = True, has_dielectric: bool = True,
                       sky_from_final_dir: bool = False, unroll: int = 1,
+                      unroll_tree: bool = False,
                       interpret: bool = False):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
     tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
@@ -366,7 +412,7 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir,
-        unroll=unroll)
+        unroll=unroll, unroll_tree=unroll_tree)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),
@@ -419,7 +465,8 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
                        width: int, th: int, tw: int,
                        normalize_defocus_dir: bool,
                        normalize_reflect_in: bool, has_metal: bool,
-                       has_dielectric: bool, unroll: int = 1):
+                       has_dielectric: bool, unroll: int = 1,
+                       unroll_tree: bool = False):
     """Raygen fused with bounce 0 (primary rays are already coherent in
     pixel order — no sort needed before the first bounce).  Outputs the ray
     payload: payf = [o(3), d(3), atten(3), primary_dy] planes.
@@ -440,7 +487,8 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
         tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, chunk=chunk,
         n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric, unroll=unroll)
+        has_dielectric=has_dielectric, unroll=unroll,
+        unroll_tree=unroll_tree)
 
     for c in range(3):
         payf_ref[c] = o[c]
@@ -456,7 +504,8 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
                         oactive_ref, *, n_chunks: int, chunk: int,
                         n_mats: int, th: int, tw: int, n_bounces: int,
                         normalize_reflect_in: bool, has_metal: bool,
-                        has_dielectric: bool, unroll: int = 1):
+                        has_dielectric: bool, unroll: int = 1,
+                        unroll_tree: bool = False):
     """n_bounces bounces over a tile of (sorted) rays — fusing 2 bounces
     per launch halves the sort + payload-roundtrip count at slightly
     staler coherence for the second bounce."""
@@ -472,6 +521,7 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
+        unroll_tree=unroll_tree,
         order_base=pl.program_id(0) * n_chunks)
 
     def bounce(_, carry):
@@ -527,8 +577,8 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
-    "interpret", "sort", "key_bits", "key_dir_bits", "key_dmajor",
-    "sort_every"))
+    "unroll_tree", "interpret", "sort", "key_bits", "key_dir_bits",
+    "key_dmajor", "sort_every"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -536,7 +586,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            th: int = 8, tw: int = 256, chunk: int = CHUNK,
                            has_metal: bool = True, has_dielectric: bool = True,
                            sky_from_final_dir: bool = False,
-                           unroll: int = 1,
+                           unroll: int = 1, unroll_tree: bool = False,
                            interpret: bool = False, sort: bool = True,
                            key_bits: int = 8, key_dir_bits: int = 1,
                            key_dmajor: bool = False,
@@ -556,7 +606,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     common = dict(n_chunks=n_chunks, chunk=chunk, n_mats=n_mats,
                   normalize_reflect_in=normalize_reflect_in,
                   has_metal=has_metal, has_dielectric=has_dielectric,
-                  unroll=unroll)
+                  unroll=unroll, unroll_tree=unroll_tree)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 

@@ -151,3 +151,24 @@ def test_cover_scene_vmem_table_matches_oracle():
     static column) scalar reads) — parity with the oracle must hold
     through that path too."""
     _compare(scenes.scene_sphere_cover(W, H), bounces=4, max_mae_pct=0.5)
+
+
+@pytest.mark.parametrize("kw", [dict(unroll=2), dict(unroll=4),
+                                dict(unroll=4, unroll_tree=True)])
+def test_unroll_variants_bit_identical(kw):
+    """Triangle-scan unrolling (sequential or tree-merged candidates) is a
+    pure scheduling change: strict t < best with ascending-index merge keeps
+    results BIT-IDENTICAL to the unit-stride scan."""
+    from rt.kernels.dispatch import pack_camera
+    from rt.kernels.tris_kernel import render_color_tris_wave
+    sd = scenes.scene_suzanne(64, 32)
+    cam_row = pack_camera(sd.camera)
+    t = jnp.uint32(1000).reshape(1, 1)
+    common = dict(height=32, width=64, height_pad=32, width_pad=256,
+                  bounces=3, normalize_defocus_dir=True,
+                  normalize_reflect_in=False, th=32, tw=256, chunk=32,
+                  interpret=True)
+    a = np.asarray(render_color_tris_wave(sd.scene, cam_row, t, **common))
+    b = np.asarray(render_color_tris_wave(sd.scene, cam_row, t, **common,
+                                          **kw))
+    np.testing.assert_array_equal(a, b)
