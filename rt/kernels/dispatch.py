@@ -50,6 +50,14 @@ def render_color(scene, camera, config: RenderConfig, time,
     Drop-in replacement for rt.render.renderer.render_color — same RNG
     stream, same math, same output (validated bit-level in tests).
     """
+    # samples_per_frame == 1 in the reference (shader_sphere.wgsl:11); the
+    # kernels trace one sample per frame — spp is realized as progressive
+    # frames (render_frames), the reference's own sampling unit.  Check
+    # BEFORE building/launching anything.
+    if config.samples_per_frame != 1:
+        raise NotImplementedError("pallas backend: samples_per_frame must be "
+                                  "1 (the reference's SAMPLE_PER_FRAME); "
+                                  "use progressive frames for spp")
     h, w = config.height, config.width
     th = min(16, _round_up(h, 8))
     tw = min(256, _round_up(w, 128))
@@ -107,11 +115,6 @@ def render_color(scene, camera, config: RenderConfig, time,
     color = jnp.transpose(color, (1, 2, 0))      # (Hp, Wp, 3)
     if (hp, wp) != (h, w):
         color = color[:h, :w]
-    # samples_per_frame == 1 in the reference (shader_sphere.wgsl:11); the
-    # kernels trace one sample — average here if a config raises it.
-    if config.samples_per_frame != 1:
-        raise NotImplementedError("pallas backend: samples_per_frame must be "
-                                  "1 (the reference's SAMPLE_PER_FRAME)")
     return color
 
 
@@ -135,7 +138,8 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
 
     if config.samples_per_frame != 1:
         raise NotImplementedError("pallas backend: samples_per_frame must be "
-                                  "1 (the reference's SAMPLE_PER_FRAME)")
+                                  "1 (the reference's SAMPLE_PER_FRAME); "
+                                  "use progressive frames for spp")
 
     cam_row = pack_camera(camera)
     time_arr = jnp.asarray(times, jnp.uint32).reshape(-1, 1)
