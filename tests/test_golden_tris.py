@@ -24,6 +24,10 @@ BUILDERS = {
     "quad": scenes.scene_quad,
     "cube": scenes.scene_cube,
     "suzanne": scenes.scene_suzanne,
+    # not a triangle scene, but the same our-own-golden tier: the ~490-
+    # sphere RTIOW cover scene (scene 8) exceeds the reference's cap and
+    # has no reference golden
+    "cover": scenes.scene_sphere_cover,
 }
 
 
