@@ -130,9 +130,15 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
     from rt.config import MAT_DIELECTRIC, MAT_METAL
 
     h, w = config.height, config.width
-    # th=32 / chunk=32 / 8-bit origin-major key measured best on-chip
-    # (55.6 ms/frame vs 59-69 for neighbors — PERF.md)
-    th = min(32, _round_up(h, 8))
+    # th=32 / chunk=32 / 8-bit origin-major key measured best on-chip for
+    # suzanne-scale scenes (55.6 ms/frame vs 59-69 for neighbors); LARGE
+    # scenes are pair-work-bound (tile chunk-union >> fixed costs — the
+    # r2 union analysis), so they take smaller tiles + per-bounce sorting:
+    # lucy 512² b5 measured 1.37e7 seg/s with th=16/sort_every=1 vs 1.11e7
+    # with suzanne's config (PERF.md r2 retune).
+    large = scene.m > 8192
+    th = min(16 if large else 32, _round_up(h, 8))
+    sort_every = 1 if large else 2
     tw = min(256, _round_up(w, 128))
     hp, wp = _round_up(h, th), _round_up(w, tw)
 
@@ -149,9 +155,10 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
         bounces=config.bounces,
         normalize_defocus_dir=config.normalize_defocus_dir,
         normalize_reflect_in=config.normalize_reflect_in,
-        # re-sort every 2 bounces: halves the sort + payload-roundtrip
-        # count for ~10% over per-bounce sorting (PERF.md)
-        sort_every=2,
+        # re-sort every 2 bounces for small scenes (halves sort + payload
+        # roundtrips); every bounce for large ones (fresher coherence wins
+        # when the chunk-union dominates) — PERF.md
+        sort_every=sort_every,
         # unroll=4: +30% measured on-chip (PERF.md r2 knob sweep)
         th=th, tw=tw, chunk=32, unroll=4,
         has_metal=MAT_METAL in config.mat_kinds,

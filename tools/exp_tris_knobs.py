@@ -30,11 +30,14 @@ def bench(sd, *, frames=16, bounces=8, th=32, tw=256, chunk=32, unroll=1,
     cam_row = pack_camera(sd.camera)
     hp, wp = _round_up(h, th), _round_up(w, tw)
 
+    # NOTE: the scene must be a traced ARGUMENT, not a closure constant —
+    # embedding dragon's ~4 MB of arrays as XLA literals crashes the remote
+    # AOT compile helper (tpu_compile_helper exit 1).
     @jax.jit
-    def run(times):
+    def run(scene, times):
         def step(acc, t):
             col = render_color_tris_wave(
-                sd.scene, cam_row, t.reshape(1, 1), height=h, width=w,
+                scene, cam_row, t.reshape(1, 1), height=h, width=w,
                 height_pad=hp, width_pad=wp, bounces=bounces,
                 normalize_defocus_dir=cfg.normalize_defocus_dir,
                 normalize_reflect_in=cfg.normalize_reflect_in,
@@ -48,9 +51,9 @@ def bench(sd, *, frames=16, bounces=8, th=32, tw=256, chunk=32, unroll=1,
         return acc
 
     times = 1000 + 10 * jnp.arange(frames, dtype=jnp.uint32)
-    np.asarray(run(times))
+    np.asarray(run(sd.scene, times))
     t0 = time_mod.perf_counter()
-    np.asarray(run(times))
+    np.asarray(run(sd.scene, times))
     dt = time_mod.perf_counter() - t0
     segs = h * w * bounces * frames
     print(f"{label:34s} {dt*1e3/frames:8.2f} ms/f  {segs/dt:.4g} seg/s",
