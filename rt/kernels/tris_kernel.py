@@ -336,12 +336,26 @@ def _morton_order(centroids):
     return jnp.argsort(code, stable=True)
 
 
-def pack_tri_table(scene, chunk: int = CHUNK):
+def pack_tri_table(scene, chunk: int = CHUNK, split_big: bool = False):
     """Build the (m_pad, 13) VMEM triangle table (Morton-clustered order,
     precomputed edges, per-triangle mat id), the (K, 5) SMEM material table
-    [albedo rgb, param, kind], and the (n_chunks, 6) chunk-AABB SMEM table."""
+    [albedo rgb, param, kind], and the (n_chunks, 6) chunk-AABB SMEM table.
+
+    split_big: segregate oversized triangles (area > 16x median — scene
+    enclosures like suzanne's room) into their own trailing chunks so they
+    stop inflating the Morton clusters' AABBs.  Pure reordering: closest
+    hit is order-independent (strict t < best) up to exact-t ties."""
     m = scene.m
-    order = _morton_order((scene.a + scene.b + scene.c) / 3.0)
+    if split_big:
+        e1 = scene.b - scene.a
+        e2 = scene.c - scene.a
+        area2 = jnp.sum(jnp.cross(e1, e2) ** 2, axis=1)
+        big = area2 > 256.0 * jnp.median(area2)   # (16x median edge scale)^2
+        morton = _morton_order((scene.a + scene.b + scene.c) / 3.0)
+        keyed = jnp.argsort(big[morton].astype(jnp.int32), stable=True)
+        order = morton[keyed]
+    else:
+        order = _morton_order((scene.a + scene.b + scene.c) / 3.0)
     a = scene.a[order].astype(jnp.float32)
     b = scene.b[order].astype(jnp.float32)
     c = scene.c[order].astype(jnp.float32)
@@ -577,8 +591,8 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
-    "unroll_tree", "interpret", "sort", "key_bits", "key_dir_bits",
-    "key_dmajor", "sort_every"))
+    "unroll_tree", "split_big", "interpret", "sort", "key_bits",
+    "key_dir_bits", "key_dmajor", "sort_every"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -587,6 +601,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            has_metal: bool = True, has_dielectric: bool = True,
                            sky_from_final_dir: bool = False,
                            unroll: int = 1, unroll_tree: bool = False,
+                           split_big: bool = False,
                            interpret: bool = False, sort: bool = True,
                            key_bits: int = 8, key_dir_bits: int = 1,
                            key_dmajor: bool = False,
@@ -596,7 +611,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     ``time`` is (F, 1) u32, one time uniform per frame; all F frames' rays
     trace as ONE sorted stream (per-frame results are bit-identical to F
     single-frame calls — rays never interact)."""
-    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk,
+                                                    split_big=split_big)
     eye = cam_row[0, 0:3]
     centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
     dist = jnp.sum((centroid - eye) ** 2, axis=1)

@@ -24,8 +24,8 @@ def _round_up(v, m):
 
 
 def bench(sd, *, frames=16, bounces=8, th=32, tw=256, chunk=32, unroll=1,
-          unroll_tree=False, key_bits=8, dir_bits=1, sort_every=2, h=512,
-          w=512, label=""):
+          unroll_tree=False, split_big=False, key_bits=8, dir_bits=1,
+          sort_every=2, h=512, w=512, label=""):
     cfg = sd.config
     cam_row = pack_camera(sd.camera)
     hp, wp = _round_up(h, th), _round_up(w, tw)
@@ -42,7 +42,7 @@ def bench(sd, *, frames=16, bounces=8, th=32, tw=256, chunk=32, unroll=1,
                 normalize_defocus_dir=cfg.normalize_defocus_dir,
                 normalize_reflect_in=cfg.normalize_reflect_in,
                 th=th, tw=tw, chunk=chunk, unroll=unroll,
-                unroll_tree=unroll_tree,
+                unroll_tree=unroll_tree, split_big=split_big,
                 key_bits=key_bits, key_dir_bits=dir_bits,
                 sort_every=sort_every)[0]
             return acc + col, None
