@@ -165,3 +165,20 @@ def test_replay_train_step_runs():
     p2, st, l1 = step(p1, st)
     assert np.isfinite(float(l0)) and np.isfinite(float(l1))
     assert float(l1) < float(l0)
+
+
+def test_replay_loss_finite_difference():
+    """Direct FD verification THROUGH the replay objective (not just
+    equality with the diff renderer): albedo + fuzz coordinates."""
+    from rt.grad import finite_difference_check
+    sd = _cfg(scenes.test_scene_metal(W, H))
+    t = jnp.uint32(1000)
+    target, _ = record_hits_oracle(sd.scene, sd.camera, sd.config,
+                                   jnp.uint32(2000))
+    _, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    loss = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t)
+
+    p0 = SphereParams.from_scene(sd.scene, albedo=True, mat_param=True)
+    max_rel, _ = finite_difference_check(lambda p: loss(p), p0, eps=1e-2,
+                                         num_coords=6, rtol=0.2)
+    assert max_rel <= 0.2
