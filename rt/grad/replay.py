@@ -37,6 +37,7 @@ from rt.core import triangle as triangle_mod
 from rt.core.materials import scatter
 from rt.core.trace import sky_color
 from rt.core.vecmath import cross, dot
+from rt.grad.gather import gather_rows_auto
 
 
 # ---------------------------------------------------------------------------
@@ -81,9 +82,14 @@ def record_hits_oracle(scene, camera, config: RenderConfig, time):
 
 
 def record_hits_pallas(scene, camera, config: RenderConfig, time,
-                       interpret: bool = False):
+                       interpret: bool = False, tris_backend: str = "auto"):
     """(color (H,W,3), hits (bounces,H,W) i32 scene-order ids) via the
-    recording Pallas kernels — the fast device recorder."""
+    recording Pallas kernels — the fast device recorder.
+
+    tris_backend: "mono" (single-launch recorder), "wave" (sorted-stream
+    recorder — the one that makes lucy/dragon-scale meshes recordable), or
+    "auto" (wave above the same 8192-triangle threshold the render dispatch
+    uses)."""
     from rt.kernels.dispatch import (_round_up, pack_camera,
                                      pack_spheres_table)
     from rt.config import MAT_DIELECTRIC, MAT_METAL
@@ -114,9 +120,16 @@ def record_hits_pallas(scene, camera, config: RenderConfig, time,
             tab, kinds, cam_row, time_arr, n_spheres=n,
             table_in_vmem=tab.shape[0] > 128, **common)
     else:
-        from rt.kernels.tris_kernel import render_color_tris_record
-        color, idx_tab, morton = render_color_tris_record(
-            scene, cam_row, time_arr, chunk=32, **common)
+        if tris_backend == "auto":
+            tris_backend = "wave" if scene.m > 8192 else "mono"
+        if tris_backend == "wave":
+            from rt.kernels.tris_kernel import render_color_tris_wave_record
+            color, idx_tab, morton = render_color_tris_wave_record(
+                scene, cam_row, time_arr, chunk=32, unroll=4, **common)
+        else:
+            from rt.kernels.tris_kernel import render_color_tris_record
+            color, idx_tab, morton = render_color_tris_record(
+                scene, cam_row, time_arr, chunk=32, **common)
         # map Morton-clustered table rows back to scene triangle ids
         safe = jnp.clip(idx_tab, 0, morton.shape[0] - 1)
         idx = jnp.where(idx_tab >= 0, morton[safe], -1)
@@ -131,12 +144,31 @@ def record_hits_pallas(scene, camera, config: RenderConfig, time,
 # ---------------------------------------------------------------------------
 
 
-def _sphere_replay_hit(scene, o, d, idx):
+def _sphere_replay_table(scene):
+    """Pack the per-sphere attributes into ONE (N, 9) table so each bounce
+    costs a single row gather: [center(3), radius, albedo(3), param, kind].
+    Built from the (differentiable) scene arrays INSIDE the loss, so table
+    gradients split back onto center/radius/albedo/param in the backward
+    pass; the discrete kind column is detached."""
+    return jnp.concatenate([
+        scene.center.astype(jnp.float32),
+        scene.radius.astype(jnp.float32)[:, None],
+        scene.albedo.astype(jnp.float32),
+        scene.mat_param.astype(jnp.float32)[:, None],
+        jax.lax.stop_gradient(
+            scene.mat_kind.astype(jnp.float32))[:, None],
+    ], axis=1)
+
+
+def _sphere_replay_hit(scene, tab, o, d, idx, gather_mode="auto"):
     """Recompute (t, hit record) for the KNOWN sphere per lane — the
-    differentiable chain of shader_sphere.wgsl:136-155 without the scan."""
+    differentiable chain of shader_sphere.wgsl:136-155 without the scan.
+    The row gather rides the MXU as a one-hot matmul (rt/grad/gather.py) —
+    per-pixel XLA gathers were the measured train-step bottleneck."""
     i = jnp.clip(idx, 0, scene.count - 1)
-    center = scene.center[i]
-    radius = scene.radius[i]
+    row = gather_rows_auto(tab, i, gather_mode)
+    center = row[..., 0:3]
+    radius = row[..., 3]
     t = sphere_mod.intersect_sphere_t(o, d, center, radius)
     # recorded hits always have a positive root; guard the measure-zero
     # degenerate replays (param drifted so far the hit vanished)
@@ -149,19 +181,48 @@ def _sphere_replay_hit(scene, o, d, idx):
         "point": point,
         "normal": normal,
         "front_face": front_face,
-        "albedo": scene.albedo[i],
-        "mat_param": scene.mat_param[i],
-        "mat_kind": scene.mat_kind[i],
+        "albedo": row[..., 4:7],
+        "mat_param": row[..., 7],
+        "mat_kind": row[..., 8].astype(scene.mat_kind.dtype),
     }
 
 
-def _tris_replay_hit(scene, o, d, idx):
+def _tris_replay_tables(scene):
+    """(tri table (m, 13), material table (K, 5)) for the replay gather:
+    tri = [a(3), b(3), c(3), normal(3), mat_id], mat = [albedo(3), param,
+    kind].  Geometry/normal columns stay differentiable; the discrete id
+    columns are detached."""
+    n_mats = scene.mat_albedo.shape[0]
+    tri = jnp.concatenate([
+        scene.a.astype(jnp.float32),
+        scene.b.astype(jnp.float32),
+        scene.c.astype(jnp.float32),
+        scene.normal.astype(jnp.float32),
+        jax.lax.stop_gradient(
+            jnp.clip(scene.mat_id, 0, n_mats - 1)
+            .astype(jnp.float32))[:, None],
+    ], axis=1)
+    mat = jnp.concatenate([
+        scene.mat_albedo.astype(jnp.float32),
+        scene.mat_param.astype(jnp.float32)[:, None],
+        jax.lax.stop_gradient(
+            scene.mat_kind.astype(jnp.float32))[:, None],
+    ], axis=1)
+    return tri, mat
+
+
+def _tris_replay_hit(scene, tabs, o, d, idx, gather_mode="auto"):
     """Recompute (t, hit record) for the KNOWN triangle per lane
-    (shader_tris.wgsl:161-202's M-T restricted to the winner)."""
+    (shader_tris.wgsl:161-202's M-T restricted to the winner).  Triangle
+    and material rows arrive via the MXU one-hot gather; large meshes
+    (lucy/dragon, > MAX_ONEHOT_ROWS) fall back to the XLA gather for the
+    triangle table while the small material table stays on the MXU."""
+    tri_tab, mat_tab = tabs
     i = jnp.clip(idx, 0, scene.m - 1)
-    a = scene.a[i]
-    edge1 = scene.b[i] - a
-    edge2 = scene.c[i] - a
+    row = gather_rows_auto(tri_tab, i, gather_mode)
+    a = row[..., 0:3]
+    edge1 = row[..., 3:6] - a
+    edge2 = row[..., 6:9] - a
     h = cross(d, edge2)
     det = dot(edge1, h)
     # grad guard: miss lanes gather an arbitrary triangle whose det can be
@@ -173,20 +234,21 @@ def _tris_replay_hit(scene, o, d, idx):
     q = cross(s, edge1)
     t = inv_det * dot(edge2, q)
     t = jnp.where(ok & (t > 0.0), t, 1.0)
-    normal = scene.normal[i]
-    mid = jnp.clip(scene.mat_id[i], 0, scene.mat_albedo.shape[0] - 1)
+    normal = row[..., 9:12]
+    mid = row[..., 12].astype(jnp.int32)
+    mrow = gather_rows_auto(mat_tab, mid, gather_mode)
     return {
         "point": o + t[..., None] * d,
         "normal": normal,
         "front_face": dot(normal, d) > 0.0,
-        "albedo": scene.mat_albedo[mid],
-        "mat_param": scene.mat_param[mid],
-        "mat_kind": scene.mat_kind[mid],
+        "albedo": mrow[..., 0:3],
+        "mat_param": mrow[..., 3],
+        "mat_kind": mrow[..., 4].astype(scene.mat_kind.dtype),
     }
 
 
 def replay_color(scene, camera, config: RenderConfig, time, hits,
-                 remat: bool = True):
+                 remat: bool = True, gather_mode: str = "auto"):
     """Differentiable (H, W, 3) color with the hit sequence FROZEN.
 
     hits: (bounces, H, W) i32 scene-order primitive ids (-1 = miss), from
@@ -195,21 +257,28 @@ def replay_color(scene, camera, config: RenderConfig, time, hits,
     camera; the discrete path structure is fixed — identical gradient
     semantics to render_color_diff at the recording point, at O(pixels x
     bounces) cost with no intersection scans.
+
+    gather_mode: how per-pixel primitive rows are fetched — "onehot" (MXU
+    matmul, bit-equal to the native gather), "take" (XLA gather), or
+    "auto" (onehot for tables up to gather.MAX_ONEHOT_ROWS).
     """
     state, origin, direction = camera_mod.generate_primary_rays(
         camera, config.width, config.height, time,
         config.normalize_defocus_dir)
 
-    replay_hit = (_sphere_replay_hit
-                  if isinstance(scene, sphere_mod.SphereArray)
-                  else _tris_replay_hit)
+    if isinstance(scene, sphere_mod.SphereArray):
+        tabs = _sphere_replay_table(scene)
+        replay_hit = _sphere_replay_hit
+    else:
+        tabs = _tris_replay_tables(scene)
+        replay_hit = _tris_replay_hit
 
     hits = jax.lax.stop_gradient(hits)
 
     def body(carry, idx):
         state, o, d, atten = carry
         hm = idx >= 0
-        hit = replay_hit(scene, o, d, idx)
+        hit = replay_hit(scene, tabs, o, d, idx, gather_mode)
         ns, no, nd = scatter(state, o, d, hit,
                              normalize_reflect_in=config.normalize_reflect_in)
         m3 = hm[..., None]
@@ -230,7 +299,7 @@ def replay_color(scene, camera, config: RenderConfig, time, hits,
 
 
 def replay_loss_fn(base_scene, camera, config: RenderConfig, target, hits,
-                   time):
+                   time, gather_mode: str = "auto"):
     """loss(params: SphereParams|TriangleParams, camera_params|None) built
     on the replay graph — the fast inverse-rendering objective."""
     from rt.grad.loss import image_mse
@@ -246,7 +315,8 @@ def replay_loss_fn(base_scene, camera, config: RenderConfig, target, hits,
         else:
             sc = apply_tri_params(base_scene, params)
         cam = camera_from_params(camera_params, camera)
-        img = replay_color(sc, cam, config, t, hits)
+        img = replay_color(sc, cam, config, t, hits,
+                           gather_mode=gather_mode)
         return image_mse(img, target)
 
     return loss

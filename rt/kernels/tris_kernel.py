@@ -474,13 +474,13 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
 
 
 def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
-                       time_ref, payf_ref, state_ref, active_ref, *,
+                       time_ref, payf_ref, state_ref, active_ref, *rest,
                        n_chunks: int, chunk: int, n_mats: int, height: int,
                        width: int, th: int, tw: int,
                        normalize_defocus_dir: bool,
                        normalize_reflect_in: bool, has_metal: bool,
                        has_dielectric: bool, unroll: int = 1,
-                       unroll_tree: bool = False):
+                       unroll_tree: bool = False, track_idx: bool = False):
     """Raygen fused with bounce 0 (primary rays are already coherent in
     pixel order — no sort needed before the first bounce).  Outputs the ray
     payload: payf = [o(3), d(3), atten(3), primary_dy] planes.
@@ -488,7 +488,10 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
     Grid is (n_frames, tile_rows, tile_cols): the wavefront stream batches
     N frames' rays (time_ref holds one time uniform per frame), which
     tightens sort coherence (same pixel region across frames) and amortizes
-    the per-bounce fixed costs over N frames."""
+    the per-bounce fixed costs over N frames.
+
+    track_idx (recording variant): one extra i32 output plane holding the
+    winning triangle's Morton-table index (-1 on miss) for bounce 0."""
     state, o, d, primary_dy = _tile_rays(
         cam_ref, time_ref[pl.program_id(0), 0], pl.program_id(1),
         pl.program_id(2), th=th, tw=tw, height=height, width=width,
@@ -497,12 +500,17 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
     zero = jnp.zeros((th, tw), jnp.float32)
     one = zero + 1.0
     carry = (state, o, d, (one, one, one), jnp.ones((th, tw), jnp.int32))
-    state, o, d, atten, active = _trace_bounce(
+    out = _trace_bounce(
         tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, chunk=chunk,
         n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
-        unroll_tree=unroll_tree)
+        unroll_tree=unroll_tree, track_idx=track_idx)
+    if track_idx:
+        state, o, d, atten, active, btid = out
+        rest[0][...] = btid
+    else:
+        state, o, d, atten, active = out
 
     for c in range(3):
         payf_ref[c] = o[c]
@@ -515,14 +523,19 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
 
 def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
                         state_ref, active_ref, opayf_ref, ostate_ref,
-                        oactive_ref, *, n_chunks: int, chunk: int,
+                        oactive_ref, *rest, n_chunks: int, chunk: int,
                         n_mats: int, th: int, tw: int, n_bounces: int,
                         normalize_reflect_in: bool, has_metal: bool,
                         has_dielectric: bool, unroll: int = 1,
-                        unroll_tree: bool = False):
+                        unroll_tree: bool = False, track_idx: bool = False):
     """n_bounces bounces over a tile of (sorted) rays — fusing 2 bounces
     per launch halves the sort + payload-roundtrip count at slightly
-    staler coherence for the second bounce."""
+    staler coherence for the second bounce.
+
+    track_idx (recording variant): one extra i32 output plane per fused
+    bounce holding the winning Morton-table triangle index (-1 on miss /
+    dead lanes) — the recorder fuses one bounce per launch, so the plane
+    count stays 1 there."""
     zero = jnp.zeros((th, tw), jnp.float32)
     carry = (state_ref[...],
              (payf_ref[0], payf_ref[1], payf_ref[2]),
@@ -535,16 +548,31 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
-        unroll_tree=unroll_tree,
+        unroll_tree=unroll_tree, track_idx=track_idx,
         order_base=pl.program_id(0) * n_chunks)
 
-    def bounce(_, carry):
-        # whole-tile skip: sorted dead rays cluster into all-dead tiles
-        return jax.lax.cond(jnp.any(carry[4] > 0), trace1, lambda c: c,
-                            carry)
+    if track_idx:
+        # Python-unrolled so every idx store has a static plane index
+        for b in range(n_bounces):
+            def traced(c):
+                *c2, btid = trace1(c)
+                return tuple(c2), btid
 
-    state, o, d, atten, active = jax.lax.fori_loop(
-        0, n_bounces, bounce, carry)
+            def dead(c):
+                return c, jnp.zeros((th, tw), jnp.int32) - 1
+
+            carry, btid = jax.lax.cond(jnp.any(carry[4] > 0), traced, dead,
+                                       carry)
+            rest[0][b] = btid
+        state, o, d, atten, active = carry
+    else:
+        def bounce(_, carry):
+            # whole-tile skip: sorted dead rays cluster into all-dead tiles
+            return jax.lax.cond(jnp.any(carry[4] > 0), trace1, lambda c: c,
+                                carry)
+
+        state, o, d, atten, active = jax.lax.fori_loop(
+            0, n_bounces, bounce, carry)
 
     for c in range(3):
         opayf_ref[c] = o[c]
@@ -732,6 +760,152 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
     img = img.reshape(3, n_frames, height_pad, width_pad)
     return jnp.moveaxis(img, 1, 0)                       # (F, 3, Hp, Wp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "height_pad", "width_pad", "bounces",
+    "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
+    "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
+    "unroll_tree", "interpret", "sort", "key_bits", "key_dir_bits",
+    "key_dmajor"))
+def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
+                                  width: int, height_pad: int,
+                                  width_pad: int, bounces: int,
+                                  normalize_defocus_dir: bool,
+                                  normalize_reflect_in: bool,
+                                  th: int = 8, tw: int = 256,
+                                  chunk: int = CHUNK,
+                                  has_metal: bool = True,
+                                  has_dielectric: bool = True,
+                                  sky_from_final_dir: bool = False,
+                                  unroll: int = 1, unroll_tree: bool = False,
+                                  interpret: bool = False, sort: bool = True,
+                                  key_bits: int = 8, key_dir_bits: int = 1,
+                                  key_dmajor: bool = False):
+    """(color (3, Hp, Wp) f32, idx (bounces, Hp, Wp) i32 Morton-table order,
+    morton (m,) i32) — WAVEFRONT recording forward for path-replay gradients
+    (rt/grad/replay.py) on large meshes: the monolithic recorder pays the
+    camera-order whole-scene chunk scan per tile, while this one gets the
+    sorted-stream culling that makes lucy/dragon tractable on the device
+    path.  Single frame; one bounce per launch (per-bounce sorting) so each
+    launch emits exactly one idx plane, which then rides the subsequent
+    payload sorts like any other plane and is scattered back to pixel order
+    at the end.  The color plane is bit-identical to
+    render_color_tris_wave(..., sort_every=1) — same `_trace_bounce`
+    arithmetic; track_idx only adds selects on the extra index plane
+    (asserted in tests/test_replay.py)."""
+    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    morton = _morton_order((scene.a + scene.b + scene.c) / 3.0)
+    eye = cam_row[0, 0:3]
+    centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
+    dist = jnp.sum((centroid - eye) ** 2, axis=1)
+    order = jnp.argsort(dist).astype(jnp.int32)[:, None]
+    n_mats = mats.shape[0]
+
+    common = dict(n_chunks=n_chunks, chunk=chunk, n_mats=n_mats,
+                  normalize_reflect_in=normalize_reflect_in,
+                  has_metal=has_metal, has_dielectric=has_dielectric,
+                  unroll=unroll, unroll_tree=unroll_tree, track_idx=True)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    time = time.reshape(1, 1)
+    nh = height_pad // th
+    first = functools.partial(
+        _wave_first_kernel, height=height, width=width, th=th, tw=tw,
+        normalize_defocus_dir=normalize_defocus_dir, **common)
+    payf, state, active, idx0 = pl.pallas_call(
+        first,
+        out_shape=(jax.ShapeDtypeStruct((10, height_pad, width_pad),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((height_pad, width_pad), jnp.uint32),
+                   jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32)),
+        grid=(1, nh, width_pad // tw),
+        in_specs=[vmem, smem, vmem, vmem, smem, smem],
+        out_specs=(pl.BlockSpec((10, th, tw),
+                                lambda f, i, j: (0, f * nh + i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(tab, mats, chunks, order, cam_row, time)
+
+    n = height_pad * width_pad
+    rows = n // tw
+    payf = payf.reshape(10, n)
+    pay, pdy = payf[0:9], payf[9]
+    state = state.reshape(n)
+    active = active.reshape(n)
+    pix = jnp.arange(n, dtype=jnp.int32)
+    idxs = [idx0.reshape(n)]
+
+    lo = jnp.min(chunks[:, 0:3], axis=0)
+    inv_span = 1.0 / jnp.maximum(jnp.max(chunks[:, 3:6], axis=0) - lo, 1e-30)
+
+    n_tiles = rows // th
+    ray_specs = (pl.BlockSpec((9, th, tw), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((th, tw), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((th, tw), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM))
+    idx_spec = pl.BlockSpec((1, th, tw), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_wave_bounce_kernel, th=th, tw=tw,
+                               n_bounces=1, **common)
+
+    for b in range(1, bounces):
+        if sort:
+            key = _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
+                                bits=key_bits, dir_bits=key_dir_bits,
+                                dmajor=key_dmajor)
+            # the per-bounce idx planes ride the payload sort so they stay
+            # aligned with the stream; pix restores pixel order at the end
+            ops = jax.lax.sort(
+                (key, *(pay[i] for i in range(9)), state, active, pix, pdy,
+                 *idxs),
+                num_keys=1)
+            pay = jnp.stack(ops[1:10])
+            state, active, pix, pdy = ops[10:14]
+            idxs = list(ops[14:])
+        mo = pay[0:3].reshape(3, n_tiles, th * tw).mean(axis=2)
+        tdist = jnp.sum((centroid[None, :, :] - mo.T[:, None, :]) ** 2,
+                        axis=2)
+        tile_order = jnp.argsort(tdist, axis=1).astype(
+            jnp.int32).reshape(-1, 1)
+        payp, state2, active2, idxb = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((9, rows, tw), jnp.float32),
+                       jax.ShapeDtypeStruct((rows, tw), jnp.uint32),
+                       jax.ShapeDtypeStruct((rows, tw), jnp.int32),
+                       jax.ShapeDtypeStruct((1, rows, tw), jnp.int32)),
+            grid=(rows // th,),
+            in_specs=[vmem, smem, vmem, vmem, *ray_specs],
+            out_specs=(*ray_specs, idx_spec),
+            input_output_aliases={4: 0, 5: 1, 6: 2},
+            interpret=interpret)(
+                tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
+                state.reshape(rows, tw), active.reshape(rows, tw))
+        pay = payp.reshape(9, n)
+        state = state2.reshape(n)
+        active = active2.reshape(n)
+        idxs.append(idxb.reshape(n))
+
+    atten = (pay[6], pay[7], pay[8])
+    col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy, atten)
+    color = jnp.stack(col)                               # (3, n)
+    img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
+    idx_img = jnp.zeros((bounces, n), jnp.int32).at[:, pix].set(
+        jnp.stack(idxs))
+    return (img.reshape(3, height_pad, width_pad),
+            idx_img.reshape(bounces, height_pad, width_pad),
+            morton.astype(jnp.int32))
 
 
 def _kernel_record(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,

@@ -87,6 +87,94 @@ def test_record_pallas_matches_oracle_triangles():
     assert agree > 0.95, f"hit-id agreement {agree:.3f}"
 
 
+def test_record_pallas_wave_matches_mono():
+    """The wavefront recorder (large-mesh path) agrees with the monolithic
+    recorder: bit-identical color (the wave==mono invariant extends to the
+    recording variants) and the same hit-id streams up to measure-zero
+    cross-chunk exact-t ties (none on this scene)."""
+    sd = _cfg(scenes.scene_cube(W, H), bounces=3)
+    t = jnp.uint32(1000)
+    c_m, i_m = record_hits_pallas(sd.scene, sd.camera, sd.config, t,
+                                  interpret=True, tris_backend="mono")
+    c_w, i_w = record_hits_pallas(sd.scene, sd.camera, sd.config, t,
+                                  interpret=True, tris_backend="wave")
+    np.testing.assert_array_equal(np.asarray(c_w), np.asarray(c_m))
+    np.testing.assert_array_equal(np.asarray(i_w), np.asarray(i_m))
+
+
+def test_replay_from_wave_record_matches_forward():
+    """Replaying the WAVE-recorded hit stream reproduces the kernel color —
+    the end-to-end contract the large-mesh differentiable path rests on."""
+    sd = _cfg(scenes.scene_cube(W, H), bounces=2)
+    t = jnp.uint32(1000)
+    color, hits = record_hits_pallas(sd.scene, sd.camera, sd.config, t,
+                                     interpret=True, tris_backend="wave")
+    img = replay_color(sd.scene, sd.camera, sd.config, t, hits)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(color),
+                               atol=2e-5, rtol=0)
+
+
+def test_gather_rows_bit_equal_to_native():
+    """The MXU one-hot gather (rt/grad/gather.py) is bit-equal to table[idx]
+    — single-block and blocked (lax.map) paths."""
+    from rt.grad.gather import gather_rows
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.standard_normal((37, 9)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 37, size=(5, 201)), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(gather_rows(table, idx)),
+                                  np.asarray(table[idx]))
+    np.testing.assert_array_equal(
+        np.asarray(gather_rows(table, idx, block=64)),
+        np.asarray(table[idx]))
+
+
+def test_gather_rows_grad_is_scatter_add():
+    """d/dtable of sum(f(table[idx])) via the one-hot matmul equals the
+    native gather's gradient (the scatter-add both paths must produce)."""
+    from rt.grad.gather import gather_rows
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((16, 4)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 16, size=(300,)), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((300, 4)), jnp.float32)
+    g1 = jax.grad(lambda t: jnp.sum(gather_rows(t, idx) * w))(table)
+    g2 = jax.grad(lambda t: jnp.sum(t[idx] * w))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("builder,bounces", [
+    (scenes.test_scene_metal, 3), (scenes.scene_cube, 2)])
+def test_replay_onehot_equals_take(builder, bounces):
+    """gather_mode='onehot' (MXU matmul rows) is bit-equal to 'take' (XLA
+    gather) in the replay forward, and their gradients agree."""
+    sd = _cfg(builder(W, H), bounces=bounces)
+    t = jnp.uint32(1000)
+    target, hits = record_hits_oracle(sd.scene, sd.camera, sd.config,
+                                      jnp.uint32(2000))
+    img_o = replay_color(sd.scene, sd.camera, sd.config, t, hits,
+                         gather_mode="onehot")
+    img_t = replay_color(sd.scene, sd.camera, sd.config, t, hits,
+                         gather_mode="take")
+    np.testing.assert_array_equal(np.asarray(img_o), np.asarray(img_t))
+
+    loss_o = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t,
+                            gather_mode="onehot")
+    loss_t = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t,
+                            gather_mode="take")
+    if builder is scenes.test_scene_metal:
+        p0 = SphereParams.from_scene(sd.scene, albedo=True, mat_param=True,
+                                     center=True, radius=True)
+    else:
+        from rt.grad import TriangleParams
+        p0 = TriangleParams.from_scene(sd.scene, albedo=True, param=True)
+    g_o = jax.grad(lambda p: loss_o(p))(p0)
+    g_t = jax.grad(lambda p: loss_t(p))(p0)
+    for a, b in zip(jax.tree_util.tree_leaves(g_o),
+                    jax.tree_util.tree_leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-5)
+
+
 def test_replay_grads_match_diff_renderer_albedo():
     """At the recording point the replay loss and the full differentiable
     renderer take identical branches, so their albedo gradients agree."""

@@ -42,21 +42,31 @@ def main():
           f"{np.asarray((hits >= 0).mean(axis=(1, 2)))[:4]}", flush=True)
 
     target = jnp.zeros((512, 512, 3), jnp.float32)
-    loss = replay_loss_fn(sd.scene, sd.camera, cfg, target, hits, t)
     params = SphereParams.from_scene(sd.scene, albedo=True, center=True,
                                      radius=True)
     opt = optax.adam(1e-2)
     st = opt.init(params)
 
-    @jax.jit
-    def step(params, st, hits):
-        l, g = jax.value_and_grad(lambda p: loss(p))(params)
-        upd, st = opt.update(g, st, params)
-        return optax.apply_updates(params, upd), st, l
+    grads = {}
+    for mode in ("take", "onehot"):
+        loss = replay_loss_fn(sd.scene, sd.camera, cfg, target, hits, t,
+                              gather_mode=mode)
 
-    p1, st1, l0 = timed("sphere replay train step (fwd+bwd+adam)",
-                        step, params, st, hits)
-    print(f"  loss {float(l0):.5g}", flush=True)
+        @jax.jit
+        def step(params, st, hits, loss=loss):
+            l, g = jax.value_and_grad(lambda p: loss(p))(params)
+            upd, st = opt.update(g, st, params)
+            return optax.apply_updates(params, upd), st, l
+
+        p1, st1, l0 = timed(f"sphere replay train step [{mode}]",
+                            step, params, st, hits)
+        print(f"  loss {float(l0):.5g}", flush=True)
+        grads[mode] = jax.jit(lambda p, loss=loss: jax.grad(
+            lambda q: loss(q))(p))(params)
+    gd = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        grads["take"], grads["onehot"])
+    print(f"  onehot-vs-take grad max abs diff: {gd}", flush=True)
 
     # replay forward == kernel forward (sanity, on-chip rounding)
     img = jax.jit(lambda: replay_color(sd.scene, sd.camera, cfg, t, hits))()
@@ -72,19 +82,22 @@ def main():
     print(f"  hit fraction/bounce: "
           f"{np.asarray((hits >= 0).mean(axis=(1, 2)))}", flush=True)
 
-    loss = replay_loss_fn(sd.scene, sd.camera, cfg, target, hits, t)
     params = TriangleParams.from_scene(sd.scene, albedo=True, param=True)
     st = opt.init(params)
 
-    @jax.jit
-    def tstep(params, st, hits):
-        l, g = jax.value_and_grad(lambda p: loss(p))(params)
-        upd, st = opt.update(g, st, params)
-        return optax.apply_updates(params, upd), st, l
+    for mode in ("take", "onehot"):
+        loss = replay_loss_fn(sd.scene, sd.camera, cfg, target, hits, t,
+                              gather_mode=mode)
 
-    p1, st1, l0 = timed("suzanne replay train step (fwd+bwd+adam)",
-                        tstep, params, st, hits)
-    print(f"  loss {float(l0):.5g}", flush=True)
+        @jax.jit
+        def tstep(params, st, hits, loss=loss):
+            l, g = jax.value_and_grad(lambda p: loss(p))(params)
+            upd, st = opt.update(g, st, params)
+            return optax.apply_updates(params, upd), st, l
+
+        p1, st1, l0 = timed(f"suzanne replay train step [{mode}]",
+                            tstep, params, st, hits)
+        print(f"  loss {float(l0):.5g}", flush=True)
 
     img = jax.jit(lambda: replay_color(sd.scene, sd.camera, cfg, t, hits))()
     diff = np.abs(np.asarray(img) - np.asarray(color))
