@@ -93,21 +93,44 @@ def camera_from_params(p: Optional[CameraParams], base: Camera) -> Camera:
 
 
 class TriangleParams(NamedTuple):
-    """Differentiable per-MESH material parameters of a TriangleScene
-    (the reference's per-mesh material table, scene_tris.rs:21-44) —
-    BASELINE config 5's 'optimize material albedo/roughness' for Suzanne."""
+    """Differentiable TriangleScene parameters: the per-MESH material table
+    (the reference's scene_tris.rs:21-44 — BASELINE config 5's 'optimize
+    material albedo/roughness' for Suzanne) plus, optionally, the VERTEX
+    geometry itself.  When any vertex field is set, face normals are
+    re-derived differentiably inside apply_tri_params with the reference
+    BVH build's convention (normalize(cross(b-a, c-a)), tree.rs:67-70), so
+    normals stay consistent with the moving surface.  Vertex optimization
+    requires replay_color(..., frozen_geometry=False) — the frozen-geometry
+    fast path deliberately detaches the triangle rows."""
 
     mat_albedo: Optional[jnp.ndarray] = None  # (K, 3)
     mat_param: Optional[jnp.ndarray] = None   # (K,)  fuzz / IOR
+    a: Optional[jnp.ndarray] = None           # (m, 3) vertex 0
+    b: Optional[jnp.ndarray] = None           # (m, 3) vertex 1
+    c: Optional[jnp.ndarray] = None           # (m, 3) vertex 2
 
     @staticmethod
-    def from_scene(scene, *, albedo=True, param=False) -> "TriangleParams":
+    def from_scene(scene, *, albedo=True, param=False,
+                   vertices=False) -> "TriangleParams":
         return TriangleParams(
             mat_albedo=scene.mat_albedo if albedo else None,
-            mat_param=scene.mat_param if param else None)
+            mat_param=scene.mat_param if param else None,
+            a=scene.a if vertices else None,
+            b=scene.b if vertices else None,
+            c=scene.c if vertices else None)
 
 
 def apply_tri_params(scene, p: TriangleParams):
-    return scene._replace(
+    sc = scene._replace(
         mat_albedo=scene.mat_albedo if p.mat_albedo is None else p.mat_albedo,
-        mat_param=scene.mat_param if p.mat_param is None else p.mat_param)
+        mat_param=scene.mat_param if p.mat_param is None else p.mat_param,
+        a=scene.a if p.a is None else p.a,
+        b=scene.b if p.b is None else p.b,
+        c=scene.c if p.c is None else p.c)
+    if p.a is not None or p.b is not None or p.c is not None:
+        e1 = sc.b - sc.a
+        e2 = sc.c - sc.a
+        n = jnp.cross(e1, e2)
+        n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+        sc = sc._replace(normal=n)
+    return sc

@@ -211,15 +211,21 @@ def _tris_replay_tables(scene):
     return tri, mat
 
 
-def _tris_replay_hit(scene, tabs, o, d, idx, gather_mode="auto"):
+def _tris_replay_hit(scene, tabs, o, d, idx, gather_mode="auto", row=None):
     """Recompute (t, hit record) for the KNOWN triangle per lane
     (shader_tris.wgsl:161-202's M-T restricted to the winner).  Triangle
     and material rows arrive via the MXU one-hot gather; large meshes
     (lucy/dragon, > MAX_ONEHOT_ROWS) fall back to the XLA gather for the
-    triangle table while the small material table stays on the MXU."""
+    triangle table while the small material table stays on the MXU.
+
+    row: optionally the PRE-GATHERED (..., 13) triangle rows — the
+    frozen-geometry fast path hoists the triangle-table gather out of the
+    train loop entirely (hits are constant across steps), leaving only the
+    small differentiable material gather per bounce."""
     tri_tab, mat_tab = tabs
-    i = jnp.clip(idx, 0, scene.m - 1)
-    row = gather_rows_auto(tri_tab, i, gather_mode)
+    if row is None:
+        i = jnp.clip(idx, 0, scene.m - 1)
+        row = gather_rows_auto(tri_tab, i, gather_mode)
     a = row[..., 0:3]
     edge1 = row[..., 3:6] - a
     edge2 = row[..., 6:9] - a
@@ -248,7 +254,8 @@ def _tris_replay_hit(scene, tabs, o, d, idx, gather_mode="auto"):
 
 
 def replay_color(scene, camera, config: RenderConfig, time, hits,
-                 remat: bool = True, gather_mode: str = "auto"):
+                 remat: bool = True, gather_mode: str = "auto",
+                 frozen_geometry: bool = True, _pre_rows=None):
     """Differentiable (H, W, 3) color with the hit sequence FROZEN.
 
     hits: (bounces, H, W) i32 scene-order primitive ids (-1 = miss), from
@@ -261,24 +268,56 @@ def replay_color(scene, camera, config: RenderConfig, time, hits,
     gather_mode: how per-pixel primitive rows are fetched — "onehot" (MXU
     matmul, bit-equal to the native gather), "take" (XLA gather), or
     "auto" (onehot for tables up to gather.MAX_ONEHOT_ROWS).
+
+    frozen_geometry (triangle scenes only): hoist the triangle-table gather
+    out of the per-step graph — the hit ids are constants across training
+    steps, so the winning triangles' (a, e1, e2, normal) rows are gathered
+    once under stop_gradient and fed to the bounce scan as inputs.  Only the
+    small differentiable MATERIAL gather remains per step.  Valid while
+    triangle vertices are not optimization parameters (TriangleParams
+    exposes materials only); pass False to keep geometry in-graph, e.g. for
+    custom losses differentiating w.r.t. scene.a/b/c.  Camera gradients are
+    unaffected (the M-T recompute against the constant rows stays
+    in-graph).
     """
     state, origin, direction = camera_mod.generate_primary_rays(
         camera, config.width, config.height, time,
         config.normalize_defocus_dir)
 
+    hits = jax.lax.stop_gradient(hits)
+
     if isinstance(scene, sphere_mod.SphereArray):
         tabs = _sphere_replay_table(scene)
+        xs = (hits, None)
         replay_hit = _sphere_replay_hit
     else:
         tabs = _tris_replay_tables(scene)
+        if _pre_rows is not None:
+            xs = (hits, jax.lax.stop_gradient(_pre_rows))
+        elif frozen_geometry:
+            i = jnp.clip(hits, 0, scene.m - 1)
+            rows = jax.lax.stop_gradient(
+                gather_rows_auto(tabs[0], i, gather_mode))
+            xs = (hits, rows)
+        else:
+            xs = (hits, None)
         replay_hit = _tris_replay_hit
 
-    hits = jax.lax.stop_gradient(hits)
+    if xs[1] is None:
+        # keep the scan xs a plain array when there is no row stream
+        xs = hits
+        unpack = lambda x: (x, None)
+    else:
+        unpack = lambda x: x
 
-    def body(carry, idx):
+    def body(carry, x):
+        idx, row = unpack(x)
         state, o, d, atten = carry
         hm = idx >= 0
-        hit = replay_hit(scene, tabs, o, d, idx, gather_mode)
+        if replay_hit is _tris_replay_hit:
+            hit = replay_hit(scene, tabs, o, d, idx, gather_mode, row=row)
+        else:
+            hit = replay_hit(scene, tabs, o, d, idx, gather_mode)
         ns, no, nd = scatter(state, o, d, hit,
                              normalize_reflect_in=config.normalize_reflect_in)
         m3 = hm[..., None]
@@ -293,15 +332,23 @@ def replay_color(scene, camera, config: RenderConfig, time, hits,
 
     atten = jnp.ones_like(origin)
     (state, o, d, atten), _ = jax.lax.scan(
-        body, (state, origin, direction, atten), hits)
+        body, (state, origin, direction, atten), xs)
     sky_dir = d if config.sky_from_final_dir else direction
     return atten * sky_color(sky_dir)
 
 
 def replay_loss_fn(base_scene, camera, config: RenderConfig, target, hits,
-                   time, gather_mode: str = "auto"):
+                   time, gather_mode: str = "auto",
+                   frozen_geometry: bool = True):
     """loss(params: SphereParams|TriangleParams, camera_params|None) built
-    on the replay graph — the fast inverse-rendering objective."""
+    on the replay graph — the fast inverse-rendering objective.
+
+    For triangle scenes with frozen_geometry (the default — TriangleParams
+    optimizes materials, never vertices), the winning triangles' geometry
+    rows are gathered ONCE here, eagerly, and closed over as constants:
+    the per-step graph then contains no triangle-table gather at all (the
+    lucy/dragon tables are too big for the MXU one-hot path, and even the
+    XLA forward gather is pure waste when repeated every step)."""
     from rt.grad.loss import image_mse
     from rt.grad.params import (SphereParams, apply_params, apply_tri_params,
                                 camera_from_params)
@@ -309,14 +356,31 @@ def replay_loss_fn(base_scene, camera, config: RenderConfig, target, hits,
     target = jnp.asarray(target, jnp.float32)
     t = jnp.uint32(time)
 
+    pre_rows = None
+    if frozen_geometry and not isinstance(base_scene, sphere_mod.SphereArray):
+        tri_tab, _ = _tris_replay_tables(base_scene)
+        i = jnp.clip(jnp.asarray(hits), 0, base_scene.m - 1)
+        pre_rows = jax.lax.stop_gradient(
+            gather_rows_auto(tri_tab, i, gather_mode))
+
     def loss(params, camera_params=None):
         if isinstance(params, SphereParams):
             sc = apply_params(base_scene, params)
         else:
+            if frozen_geometry and (params.a is not None
+                                    or params.b is not None
+                                    or params.c is not None):
+                raise ValueError(
+                    "TriangleParams with vertex fields need "
+                    "replay_loss_fn(..., frozen_geometry=False): the "
+                    "frozen-geometry fast path detaches the triangle rows, "
+                    "so vertex gradients would be silently zero")
             sc = apply_tri_params(base_scene, params)
         cam = camera_from_params(camera_params, camera)
         img = replay_color(sc, cam, config, t, hits,
-                           gather_mode=gather_mode)
+                           gather_mode=gather_mode,
+                           frozen_geometry=frozen_geometry,
+                           _pre_rows=pre_rows)
         return image_mse(img, target)
 
     return loss

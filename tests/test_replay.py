@@ -114,6 +114,39 @@ def test_replay_from_wave_record_matches_forward():
                                atol=2e-5, rtol=0)
 
 
+def test_replay_frozen_geometry_equals_in_graph():
+    """The frozen-geometry fast path (triangle rows pre-gathered as scan
+    inputs / loss-closure constants) is bit-equal to the in-graph gather in
+    the forward, and material + camera gradients agree."""
+    from rt.grad import CameraParams, TriangleParams
+    sd = _cfg(scenes.scene_cube(W, H), bounces=3)
+    t = jnp.uint32(1000)
+    target, hits = record_hits_oracle(sd.scene, sd.camera, sd.config,
+                                      jnp.uint32(2000))
+    img_f = replay_color(sd.scene, sd.camera, sd.config, t, hits,
+                         frozen_geometry=True)
+    img_g = replay_color(sd.scene, sd.camera, sd.config, t, hits,
+                         frozen_geometry=False)
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_g))
+
+    cp = CameraParams.create(np.asarray(sd.camera.eye[:3]),
+                             np.asarray(sd.camera.eye[:3])
+                             + np.asarray(sd.camera.direction[:3]),
+                             float(sd.camera.focal_length),
+                             float(sd.camera.focal_blur),
+                             float(sd.camera.fov))
+    p0 = TriangleParams.from_scene(sd.scene, albedo=True, param=True)
+    grads = {}
+    for fg in (True, False):
+        loss = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits,
+                              t, frozen_geometry=fg)
+        grads[fg] = jax.grad(lambda a: loss(a[0], a[1]))((p0, cp))
+    for a, b in zip(jax.tree_util.tree_leaves(grads[True]),
+                    jax.tree_util.tree_leaves(grads[False])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-5)
+
+
 def test_gather_rows_bit_equal_to_native():
     """The MXU one-hot gather (rt/grad/gather.py) is bit-equal to table[idx]
     — single-block and blocked (lax.map) paths."""
@@ -253,6 +286,49 @@ def test_replay_train_step_runs():
     p2, st, l1 = step(p1, st)
     assert np.isfinite(float(l0)) and np.isfinite(float(l1))
     assert float(l1) < float(l0)
+
+
+def test_replay_vertex_gradients_finite_difference():
+    """Triangle VERTEX gradients through the replay objective, FD-verified —
+    the mesh-geometry clause of BASELINE config 5 (requires
+    frozen_geometry=False; the transport term that sees geometry is the
+    final-dir sky, as with spheres)."""
+    from rt.config import MAT_METAL
+    from rt.grad import TriangleParams, finite_difference_check
+    sd = _cfg(scenes.scene_cube(W, H), bounces=2, sky_from_final_dir=True)
+    # metal (fuzz 0): the scatter direction is the pure reflect, smooth in
+    # the face normal — lambertian's hemisphere bounce is a discrete sign
+    # flip, so its vertex gradients are structurally zero (same reasoning
+    # as test_camera_geometry_grads_are_structurally_sky_only)
+    scene = sd.scene._replace(
+        mat_kind=jnp.full_like(sd.scene.mat_kind, MAT_METAL),
+        mat_param=jnp.zeros_like(sd.scene.mat_param))
+    t = jnp.uint32(1000)
+    target, _ = record_hits_oracle(scene, sd.camera, sd.config,
+                                   jnp.uint32(2000))
+    _, hits = record_hits_oracle(scene, sd.camera, sd.config, t)
+    loss = replay_loss_fn(scene, sd.camera, sd.config, target, hits, t,
+                          frozen_geometry=False)
+
+    p0 = TriangleParams.from_scene(scene, albedo=False, vertices=True)
+    g = jax.grad(lambda p: loss(p))(p0)
+    assert float(jnp.max(jnp.abs(g.a))) > 0.0
+    max_rel, _ = finite_difference_check(lambda p: loss(p), p0, eps=2e-3,
+                                         num_coords=6, rtol=0.25)
+    assert max_rel <= 0.25
+
+
+def test_replay_vertex_params_need_unfrozen_geometry():
+    """The frozen-geometry guard: vertex params under the fast path raise
+    instead of silently returning zero gradients."""
+    from rt.grad import TriangleParams
+    sd = _cfg(scenes.scene_cube(W, H), bounces=2)
+    t = jnp.uint32(1000)
+    target, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    loss = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t)
+    p0 = TriangleParams.from_scene(sd.scene, vertices=True)
+    with pytest.raises(ValueError, match="frozen_geometry"):
+        loss(p0)
 
 
 def test_replay_loss_finite_difference():

@@ -35,7 +35,8 @@ def main():
     t = jnp.uint32(1000)
     opt = optax.adam(1e-2)
 
-    for name, builder in (("lucy", scenes.scene_lucy),
+    for name, builder in (("suzanne", scenes.scene_suzanne),
+                          ("lucy", scenes.scene_lucy),
                           ("dragon", scenes.scene_dragon)):
         sd = builder(512, 512)
         cfg = sd.config
@@ -46,12 +47,18 @@ def main():
         for backend in ("mono", "wave"):
             rec = jax.jit(lambda be=backend: record_hits_pallas(
                 sd.scene, sd.camera, cfg, t, tris_backend=be))
-            color, hits = timed(f"{name} record [{backend}]", rec)
+            try:
+                color, hits = timed(f"{name} record [{backend}]", rec)
+            except Exception as e:  # noqa: BLE001 — e.g. mono VMEM OOM on dragon
+                print(f"{name} record [{backend}] FAILED: "
+                      f"{type(e).__name__}: {str(e)[:140]}", flush=True)
+                continue
             recs[backend] = (np.asarray(color), np.asarray(hits))
-        cdiff = np.abs(recs["mono"][0] - recs["wave"][0]).max()
-        iagree = (recs["mono"][1] == recs["wave"][1]).mean()
-        print(f"  wave-vs-mono color max diff {cdiff:.3e}, "
-              f"idx agreement {iagree:.6f}", flush=True)
+        if "mono" in recs and "wave" in recs:
+            cdiff = np.abs(recs["mono"][0] - recs["wave"][0]).max()
+            iagree = (recs["mono"][1] == recs["wave"][1]).mean()
+            print(f"  wave-vs-mono color max diff {cdiff:.3e}, "
+                  f"idx agreement {iagree:.6f}", flush=True)
 
         target = jnp.zeros((512, 512, 3), jnp.float32)
         hits = jnp.asarray(recs["wave"][1])
@@ -67,6 +74,20 @@ def main():
 
         _, _, l0 = timed(f"{name} replay train step", step, params, st, hits)
         print(f"  loss {float(l0):.5g}", flush=True)
+
+        # chained steps: the real per-step compute (readback floor amortized)
+        @jax.jit
+        def steps16(params, st, h, loss=loss):
+            def body(c, _):
+                p, s = c
+                l, g = jax.value_and_grad(lambda q: loss(q))(p)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), l
+            (_, _), ls = jax.lax.scan(body, (params, st), None, length=16)
+            return ls[-1]
+
+        timed(f"{name} 16 chained steps (/16 per step)", steps16,
+              params, st, hits)
     return 0
 
 
