@@ -364,7 +364,9 @@ def replay_loss_fn(base_scene, camera, config: RenderConfig, target, hits,
             gather_rows_auto(tri_tab, i, gather_mode))
 
     def loss(params, camera_params=None):
-        if isinstance(params, SphereParams):
+        if params is None:
+            sc = base_scene
+        elif isinstance(params, SphereParams):
             sc = apply_params(base_scene, params)
         else:
             if frozen_geometry and (params.a is not None

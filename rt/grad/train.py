@@ -96,3 +96,85 @@ def fit(base_scene, base_camera, config: RenderConfig, target,
         if log_every and (i + 1) % log_every == 0:
             print(f"  step {i+1}/{steps}: loss {losses[-1]:.6g}")
     return params, losses
+
+
+def fit_replay(base_scene, base_camera, config: RenderConfig, target,
+               *, time: int = 1000, steps: int = 120,
+               rerecord_every: int = 20, learning_rate: float = 2e-2,
+               scene_fields=dict(albedo=True, mat_param=False),
+               init_params: Optional[dict] = None,
+               gather_mode: str = "auto", frozen_geometry: bool = True,
+               recorder: str = "auto", log_every: int = 0):
+    """Path-replay inverse rendering — the PRODUCTION loop (fast path).
+
+    Outer loop: re-record the Monte-Carlo path structure at the current
+    parameters with the Pallas recording kernels (``record_hits_pallas``;
+    falls back to the pure-JAX oracle recorder off-TPU).  Inner loop:
+    ``rerecord_every`` optimizer steps on the frozen-path replay objective,
+    chained on device in ONE ``lax.scan`` dispatch — a single scalar-stream
+    readback per outer block (the per-call tunnel floor would otherwise
+    dominate: PERF.md measures 22-27 ms/call vs 3.9 ms/step compute on
+    Suzanne 512²).
+
+    Measured on-chip (512²): ~2 orders faster per step than ``fit`` on the
+    full differentiable graph.  Returns (params dict, losses list).
+    """
+    import numpy as np
+
+    from rt.core.sphere import SphereArray
+    from rt.grad.replay import (record_hits_oracle, record_hits_pallas,
+                                replay_loss_fn)
+
+    params = dict(init_params) if init_params else {}
+    if "scene" not in params:
+        if isinstance(base_scene, SphereArray):
+            params["scene"] = SphereParams.from_scene(base_scene,
+                                                      **scene_fields)
+        else:
+            params["scene"] = TriangleParams.from_scene(base_scene)
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    target = jnp.asarray(target, jnp.float32)
+
+    if recorder == "auto":
+        recorder = ("pallas" if jax.devices()[0].platform == "tpu"
+                    else "oracle")
+    rec_fn = (record_hits_pallas if recorder == "pallas"
+              else record_hits_oracle)
+
+    def apply_scene(p):
+        sp = p["scene"]
+        return (apply_tri_params(base_scene, sp)
+                if isinstance(sp, TriangleParams)
+                else apply_params(base_scene, sp))
+
+    losses = []
+    done = 0
+    while done < steps:
+        k = min(rerecord_every, steps - done)
+        scene_now = apply_scene(params)
+        cam_now = camera_from_params(params.get("camera"), base_camera)
+        _, hits = rec_fn(scene_now, cam_now, config, jnp.uint32(time))
+        loss = replay_loss_fn(base_scene, base_camera, config, target, hits,
+                              time, gather_mode=gather_mode,
+                              frozen_geometry=frozen_geometry)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def chain(params, opt_state, hits, k):
+            def body(c, _):
+                p, s = c
+                l, g = jax.value_and_grad(
+                    lambda q: loss(q.get("scene"), q.get("camera")))(p)
+                upd, s = optimizer.update(g, s, p)
+                return (optax.apply_updates(p, upd), s), l
+            (p, s), ls = jax.lax.scan(body, (params, opt_state), None,
+                                      length=k)
+            return p, s, ls
+
+        params, opt_state, ls = chain(params, opt_state, hits, k)
+        losses.extend(np.asarray(ls).tolist())
+        done += k
+        if log_every:
+            print(f"  step {done}/{steps}: loss {losses[-1]:.6g}")
+    return params, losses

@@ -331,6 +331,27 @@ def test_replay_vertex_params_need_unfrozen_geometry():
         loss(p0)
 
 
+def test_fit_replay_recovers_albedo():
+    """The production record/replay loop (rt.grad.fit_replay): recover two
+    perturbed sphere albedos from a target render — re-record every 15
+    steps, inner steps scan-chained on device."""
+    from rt.grad import fit_replay
+    sd = _cfg(scenes.test_scene_metal(W, H))
+    t = jnp.uint32(1000)
+    target, _ = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+
+    wrong = sd.scene.albedo.at[1].set(jnp.array([0.1, 0.9, 0.1])) \
+                           .at[2].set(jnp.array([0.9, 0.2, 0.6]))
+    init = {"scene": SphereParams(albedo=wrong)}
+    params, losses = fit_replay(sd.scene, sd.camera, sd.config, target,
+                                time=1000, steps=60, rerecord_every=15,
+                                learning_rate=5e-2, init_params=init)
+    assert losses[-1] < losses[0] * 0.05
+    err = float(jnp.abs(params["scene"].albedo[1:3]
+                        - sd.scene.albedo[1:3]).max())
+    assert err < 0.08, f"albedo recovery error {err}"
+
+
 def test_replay_loss_finite_difference():
     """Direct FD verification THROUGH the replay objective (not just
     equality with the diff renderer): albedo + fuzz coordinates."""
