@@ -40,15 +40,37 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, *,
                 block: int = 32768) -> jnp.ndarray:
     """``table[idx]`` (idx any shape, int32, already in-range) as a blocked
     one-hot matmul.  Returns shape ``idx.shape + (C,)``; bit-equal to the
-    native gather, differentiable w.r.t. ``table``."""
+    native gather, differentiable w.r.t. ``table``.
+
+    Non-finite table entries are SAFE: a naive one-hot matmul would let a
+    single NaN/Inf entry poison its column for EVERY gathered row (0.0 * NaN
+    = NaN), whereas the native gather only affects rows that select it — and
+    NaNs are reachable here (degenerate triangles get NaN face normals in
+    the BVH build, rt/scene/bvh.py:136-139, and can appear transiently in
+    apply_tri_params during vertex optimization).  The matmul therefore runs
+    on a zero-sanitized table augmented with 0/1 non-finite masks (exact
+    under a one-hot operand), and the selected rows' NaN/±Inf entries are
+    reconstructed afterwards.  For all-finite tables the value columns are
+    bit-identical to the unguarded matmul (same dot, same order); the extra
+    mask columns ride the same MXU pass (C stays well under one 128-lane
+    tile)."""
     n, c = table.shape
     flat = idx.reshape(-1).astype(jnp.int32)
     p = flat.shape[0]
     iota = jax.lax.iota(jnp.int32, n)
 
+    isnan = jnp.isnan(table)
+    ispos = table == jnp.inf
+    isneg = table == -jnp.inf
+    san = jnp.where(isnan | ispos | isneg, jnp.zeros_like(table), table)
+    aug = jnp.concatenate([san,
+                           isnan.astype(table.dtype),
+                           ispos.astype(table.dtype),
+                           isneg.astype(table.dtype)], axis=1)
+
     def one_block(rows):
         oh = (rows[:, None] == iota[None, :]).astype(table.dtype)
-        return jax.lax.dot(oh, table,
+        return jax.lax.dot(oh, aug,
                            precision=jax.lax.Precision.HIGHEST)
 
     if p <= block:
@@ -60,8 +82,14 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, *,
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad,), jnp.int32)])
         out = jax.lax.map(one_block, flat.reshape(nb, block))
-        out = out.reshape(nb * block, c)[:p]
-    return out.reshape(idx.shape + (c,))
+        out = out.reshape(nb * block, 4 * c)[:p]
+    val = out[:, :c]
+    # one-hot rows select exactly one table row, so the gathered masks are
+    # exact 0.0/1.0 — reconstruct the non-finite entries per selected row
+    val = jnp.where(out[:, c:2 * c] > 0.5, float("nan"), val)
+    val = jnp.where(out[:, 2 * c:3 * c] > 0.5, float("inf"), val)
+    val = jnp.where(out[:, 3 * c:] > 0.5, float("-inf"), val)
+    return val.reshape(idx.shape + (c,))
 
 
 def gather_rows_auto(table: jnp.ndarray, idx: jnp.ndarray, mode: str = "auto",

@@ -131,6 +131,12 @@ def apply_tri_params(scene, p: TriangleParams):
         e1 = sc.b - sc.a
         e2 = sc.c - sc.a
         n = jnp.cross(e1, e2)
-        n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+        # clamp the norm: a triangle collapsed to zero area (degenerate
+        # input, or transiently mid vertex-optimization) would otherwise
+        # yield 0/0 = NaN and poison the whole loss/gradient through
+        # image_mse; bit-identical for any non-degenerate triangle
+        # (real face normals have |n| >> 1e-20)
+        n = n / jnp.maximum(
+            jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-20)
         sc = sc._replace(normal=n)
     return sc

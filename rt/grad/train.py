@@ -30,6 +30,24 @@ class TrainStep(NamedTuple):
     loss: jnp.ndarray
 
 
+def _tri_scene_params(base_scene, scene_fields) -> TriangleParams:
+    """Map the sphere-flavored ``scene_fields`` keys onto
+    TriangleParams.from_scene so the knob is honored (not silently ignored)
+    for triangle scenes; unknown keys raise."""
+    key_map = {"albedo": "albedo", "mat_param": "param", "param": "param",
+               "vertices": "vertices"}
+    kwargs = {}
+    for k, v in scene_fields.items():
+        if k not in key_map:
+            if v:  # a requested-but-unsupported field must not freeze silently
+                raise ValueError(
+                    f"scene_fields key {k!r} is not supported for triangle "
+                    f"scenes (supported: albedo, mat_param/param, vertices)")
+            continue
+        kwargs[key_map[k]] = bool(v)
+    return TriangleParams.from_scene(base_scene, **kwargs)
+
+
 def make_train_step(base_scene, base_camera, config: RenderConfig,
                     times: Sequence[int], optimizer: optax.GradientTransformation,
                     *, remat: bool = True) -> Callable:
@@ -78,7 +96,7 @@ def fit(base_scene, base_camera, config: RenderConfig, target,
             params["scene"] = SphereParams.from_scene(base_scene,
                                                       **scene_fields)
         else:
-            params["scene"] = TriangleParams.from_scene(base_scene)
+            params["scene"] = _tri_scene_params(base_scene, scene_fields)
     if optimize_camera and "camera" not in params:
         raise ValueError("optimize_camera requires init_params['camera'] "
                          "(a CameraParams initial guess)")
@@ -122,20 +140,31 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
     import numpy as np
 
     from rt.core.sphere import SphereArray
-    from rt.grad.replay import (record_hits_oracle, record_hits_pallas,
-                                replay_loss_fn)
+    from rt.grad.gather import gather_rows_auto
+    from rt.grad.loss import image_mse
+    from rt.grad.replay import (_tris_replay_tables, record_hits_oracle,
+                                record_hits_pallas, replay_color)
 
+    is_tris = not isinstance(base_scene, SphereArray)
     params = dict(init_params) if init_params else {}
     if "scene" not in params:
-        if isinstance(base_scene, SphereArray):
+        if is_tris:
+            params["scene"] = _tri_scene_params(base_scene, scene_fields)
+        else:
             params["scene"] = SphereParams.from_scene(base_scene,
                                                       **scene_fields)
-        else:
-            params["scene"] = TriangleParams.from_scene(base_scene)
+    sp = params["scene"]
+    if (is_tris and frozen_geometry and isinstance(sp, TriangleParams)
+            and (sp.a is not None or sp.b is not None or sp.c is not None)):
+        raise ValueError("vertex optimization needs frozen_geometry=False: "
+                         "the frozen-geometry fast path detaches the "
+                         "triangle rows, so vertex gradients would be "
+                         "silently zero")
 
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
     target = jnp.asarray(target, jnp.float32)
+    t_u32 = jnp.uint32(time)
 
     if recorder == "auto":
         recorder = ("pallas" if jax.devices()[0].platform == "tpu"
@@ -149,30 +178,50 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
                 if isinstance(sp, TriangleParams)
                 else apply_params(base_scene, sp))
 
+    # ONE jitted chain for the whole fit, with hits (and the frozen-geometry
+    # pre-gathered triangle rows) as TRACED arguments: re-jitting per
+    # re-record block would pay a full retrace + XLA compile every
+    # `rerecord_every` steps and bake the (bounces, H, W) hits array into
+    # the executable as a constant.  Only the final short block (different
+    # static k) compiles a second executable.
+    def loss_of(p, hits, pre_rows):
+        sc = apply_scene(p)
+        cam = camera_from_params(p.get("camera"), base_camera)
+        img = replay_color(sc, cam, config, t_u32, hits,
+                           gather_mode=gather_mode,
+                           frozen_geometry=frozen_geometry,
+                           _pre_rows=pre_rows)
+        return image_mse(img, target)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(params, opt_state, hits, pre_rows, k):
+        def body(c, _):
+            p, s = c
+            l, g = jax.value_and_grad(loss_of)(p, hits, pre_rows)
+            upd, s = optimizer.update(g, s, p)
+            return (optax.apply_updates(p, upd), s), l
+        (p, s), ls = jax.lax.scan(body, (params, opt_state), None,
+                                  length=k)
+        return p, s, ls
+
+    pre_tab = (_tris_replay_tables(base_scene)[0]
+               if is_tris and frozen_geometry else None)
+
+    @jax.jit
+    def prep_rows(hits):
+        i = jnp.clip(hits, 0, base_scene.m - 1)
+        return jax.lax.stop_gradient(gather_rows_auto(pre_tab, i,
+                                                      gather_mode))
+
     losses = []
     done = 0
     while done < steps:
         k = min(rerecord_every, steps - done)
         scene_now = apply_scene(params)
         cam_now = camera_from_params(params.get("camera"), base_camera)
-        _, hits = rec_fn(scene_now, cam_now, config, jnp.uint32(time))
-        loss = replay_loss_fn(base_scene, base_camera, config, target, hits,
-                              time, gather_mode=gather_mode,
-                              frozen_geometry=frozen_geometry)
-
-        @partial(jax.jit, static_argnames=("k",))
-        def chain(params, opt_state, hits, k):
-            def body(c, _):
-                p, s = c
-                l, g = jax.value_and_grad(
-                    lambda q: loss(q.get("scene"), q.get("camera")))(p)
-                upd, s = optimizer.update(g, s, p)
-                return (optax.apply_updates(p, upd), s), l
-            (p, s), ls = jax.lax.scan(body, (params, opt_state), None,
-                                      length=k)
-            return p, s, ls
-
-        params, opt_state, ls = chain(params, opt_state, hits, k)
+        _, hits = rec_fn(scene_now, cam_now, config, t_u32)
+        pre_rows = prep_rows(hits) if pre_tab is not None else None
+        params, opt_state, ls = chain(params, opt_state, hits, pre_rows, k)
         losses.extend(np.asarray(ls).tolist())
         done += k
         if log_every:

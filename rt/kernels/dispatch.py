@@ -50,14 +50,11 @@ def render_color(scene, camera, config: RenderConfig, time,
     Drop-in replacement for rt.render.renderer.render_color — same RNG
     stream, same math, same output (validated bit-level in tests).
     """
-    # samples_per_frame == 1 in the reference (shader_sphere.wgsl:11); the
-    # kernels trace one sample per frame — spp is realized as progressive
-    # frames (render_frames), the reference's own sampling unit.  Check
-    # BEFORE building/launching anything.
-    if config.samples_per_frame != 1:
-        raise NotImplementedError("pallas backend: samples_per_frame must be "
-                                  "1 (the reference's SAMPLE_PER_FRAME); "
-                                  "use progressive frames for spp")
+    # samples_per_frame (SAMPLE_PER_FRAME, shader_sphere.wgsl:11) is an
+    # in-kernel sample loop: the same primary ray re-traced spp times with
+    # the RNG state threaded across samples, then averaged — bit-equal to
+    # the oracle renderer's loop (rt/render/renderer.py:63-70).
+    spp = config.samples_per_frame
     h, w = config.height, config.width
     th = min(16, _round_up(h, 8))
     tw = min(256, _round_up(w, 128))
@@ -86,7 +83,7 @@ def render_color(scene, camera, config: RenderConfig, time,
             # past the reference's 100-sphere cap the table outgrows SMEM;
             # VMEM scalar reads are the same (dynamic row, static col) form
             table_in_vmem=tab.shape[0] > 128,
-            interpret=interpret)
+            spp=spp, interpret=interpret)
     elif isinstance(scene, TriangleScene):
         # The wavefront backend (per-bounce kernels + coherence-sorted ray
         # streams) measured ~2.5x the monolithic kernel's compute on
@@ -105,7 +102,7 @@ def render_color(scene, camera, config: RenderConfig, time,
                 th=th, tw=tw, chunk=32, unroll=4, has_metal=has_metal,
                 has_dielectric=has_dielectric,
                 sky_from_final_dir=config.sky_from_final_dir,
-                interpret=interpret)
+                spp=spp, interpret=interpret)
         else:
             return render_color_frames(scene, camera, config, time_arr,
                                        interpret=interpret)[0]
@@ -142,11 +139,6 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
     tw = min(256, _round_up(w, 128))
     hp, wp = _round_up(h, th), _round_up(w, tw)
 
-    if config.samples_per_frame != 1:
-        raise NotImplementedError("pallas backend: samples_per_frame must be "
-                                  "1 (the reference's SAMPLE_PER_FRAME); "
-                                  "use progressive frames for spp")
-
     cam_row = pack_camera(camera)
     time_arr = jnp.asarray(times, jnp.uint32).reshape(-1, 1)
     colors = render_color_tris_wave(
@@ -164,6 +156,7 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
         has_metal=MAT_METAL in config.mat_kinds,
         has_dielectric=MAT_DIELECTRIC in config.mat_kinds,
         sky_from_final_dir=config.sky_from_final_dir,
+        spp=config.samples_per_frame,
         interpret=interpret)                       # (F, 3, Hp, Wp)
     colors = jnp.transpose(colors, (0, 2, 3, 1))   # (F, Hp, Wp, 3)
     if (hp, wp) != (h, w):

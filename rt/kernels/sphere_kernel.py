@@ -120,7 +120,8 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
             n_spheres: int, height: int, width: int, th: int, tw: int,
             bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
-            has_dielectric: bool = True, sky_from_final_dir: bool = False):
+            has_dielectric: bool = True, sky_from_final_dir: bool = False,
+            spp: int = 1):
     x_i, y_i = _tile_coords(pl.program_id(0), pl.program_id(1), th=th, tw=tw)
     x_f = x_i.astype(jnp.float32)
     y_f = y_i.astype(jnp.float32)
@@ -133,14 +134,11 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
     state, o, d4 = tc.generate_rays(
         cam, x_f, y_f, x_u, y_u, height=height, width=width, time=time,
         normalize_defocus_dir=normalize_defocus_dir)
-    d = (d4[0], d4[1], d4[2])
+    d0 = (d4[0], d4[1], d4[2])
     primary_dy = d4[1]
 
     zero = jnp.zeros((th, tw), jnp.float32)
     one = zero + 1.0
-    atten = (one, one, one)
-    active = jnp.ones((th, tw), jnp.int32)  # i32 mask: bool carries fail
-                                            # to legalize in Mosaic scf.for
 
     body = functools.partial(
         _sphere_bounce, sph_ref, kind_ref, zero, one, n_spheres=n_spheres,
@@ -151,13 +149,33 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
         # whole-tile early exit once every lane has escaped to the sky
         return jax.lax.cond(jnp.any(carry[4] > 0), body, lambda c: c, carry)
 
-    state, o, d, atten, active = jax.lax.fori_loop(
-        0, bounces, bounce, (state, o, d, atten, active))
+    def one_sample(state):
+        # i32 active mask: bool carries fail to legalize in Mosaic scf.for
+        carry = (state, o, d0, (one, one, one),
+                 jnp.ones((th, tw), jnp.int32))
+        state, _, d, atten, _ = jax.lax.fori_loop(0, bounces, bounce, carry)
+        # sky_from_final_dir: RenderConfig extension (standard RTIOW
+        # background); default False = the reference's primary-ray sky quirk.
+        return state, tc.sky_times_atten(
+            d[1] if sky_from_final_dir else primary_dy, atten)
 
-    # sky_from_final_dir: RenderConfig extension (standard RTIOW background);
-    # default False = the reference's primary-ray sky quirk.
-    col = tc.sky_times_atten(d[1] if sky_from_final_dir else primary_dy,
-                             atten)
+    if spp == 1:
+        _, col = one_sample(state)
+    else:
+        # SAMPLE_PER_FRAME > 1 (shader_sphere.wgsl:259-262): the SAME primary
+        # ray is re-traced spp times with the RNG state THREADED across
+        # samples, then the sum is averaged — matching the oracle renderer's
+        # sample loop (rt/render/renderer.py:63-70) bit for bit.
+        def sample(_, c):
+            state, acc = c
+            state, col = one_sample(state)
+            return state, pm.add3(acc, col)
+        _, col = jax.lax.fori_loop(0, spp, sample, (state, (zero, zero, zero)))
+        # true divide (not reciprocal-multiply): x/3 and x*(1/3) round
+        # differently, and the oracle divides (renderer.py:70)
+        n = jnp.float32(spp)
+        col = (col[0] / n, col[1] / n, col[2] / n)
+
     out_ref[0] = col[0]
     out_ref[1] = col[1]
     out_ref[2] = col[2]
@@ -167,7 +185,7 @@ def _kernel(sph_ref, kind_ref, cam_ref, time_ref, out_ref, *,
     "n_spheres", "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw",
     "has_metal", "has_dielectric", "table_in_vmem", "sky_from_final_dir",
-    "interpret"))
+    "spp", "interpret"))
 def render_color_spheres(sph_table, kind_table, cam_row, time, *,
                          n_spheres: int, height: int, width: int,
                          height_pad: int, width_pad: int,
@@ -177,6 +195,7 @@ def render_color_spheres(sph_table, kind_table, cam_row, time, *,
                          has_dielectric: bool = True,
                          table_in_vmem: bool = False,
                          sky_from_final_dir: bool = False,
+                         spp: int = 1,
                          interpret: bool = False):
     """Returns planar (3, Hp, Wp) color for one frame (crop to H, W).
 
@@ -195,7 +214,8 @@ def render_color_spheres(sph_table, kind_table, cam_row, time, *,
         _kernel, n_spheres=n_spheres, height=height, width=width, th=th,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
-        has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir)
+        has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir,
+        spp=spp)
     table_space = pltpu.VMEM if table_in_vmem else pltpu.SMEM
     return pl.pallas_call(
         kernel,

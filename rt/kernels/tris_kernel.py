@@ -268,17 +268,15 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
             has_dielectric: bool = True, sky_from_final_dir: bool = False,
-            unroll: int = 1, unroll_tree: bool = False):
+            unroll: int = 1, unroll_tree: bool = False, spp: int = 1):
     """Monolithic whole-frame kernel: raygen + all bounces in one launch."""
-    state, o, d, primary_dy = _tile_rays(
+    state, o, d0, primary_dy = _tile_rays(
         cam_ref, time_ref[0, 0], pl.program_id(0), pl.program_id(1), th=th,
         tw=tw, height=height, width=width,
         normalize_defocus_dir=normalize_defocus_dir)
 
     zero = jnp.zeros((th, tw), jnp.float32)
     one = zero + 1.0
-    atten = (one, one, one)
-    active = jnp.ones((th, tw), jnp.int32)
 
     trace1 = functools.partial(
         _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
@@ -293,13 +291,32 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
         return jax.lax.cond(jnp.any(carry[4] > 0), trace1, lambda c: c,
                             carry)
 
-    state, o, d, atten, active = jax.lax.fori_loop(
-        0, bounces, bounce, (state, o, d, atten, active))
+    def one_sample(state):
+        carry = (state, o, d0, (one, one, one),
+                 jnp.ones((th, tw), jnp.int32))
+        state, _, d, atten, _ = jax.lax.fori_loop(0, bounces, bounce, carry)
+        # sky_from_final_dir: RenderConfig extension (standard RTIOW
+        # background); default False = the reference's primary-ray sky quirk.
+        return state, tc.sky_times_atten(
+            d[1] if sky_from_final_dir else primary_dy, atten)
 
-    # sky_from_final_dir: RenderConfig extension (standard RTIOW background);
-    # default False = the reference's primary-ray sky quirk.
-    col = tc.sky_times_atten(d[1] if sky_from_final_dir else primary_dy,
-                             atten)
+    if spp == 1:
+        _, col = one_sample(state)
+    else:
+        # SAMPLE_PER_FRAME > 1 (shader_tris.wgsl fs_main): the SAME primary
+        # ray is re-traced spp times with the RNG state THREADED across
+        # samples, then the sum is averaged — matching the oracle renderer's
+        # sample loop (rt/render/renderer.py:63-70) bit for bit (true divide,
+        # not reciprocal-multiply: x/3 and x*(1/3) round differently).
+        def sample(_, c):
+            state, acc = c
+            state, col = one_sample(state)
+            return state, pm.add3(acc, col)
+        _, col = jax.lax.fori_loop(0, spp, sample,
+                                   (state, (zero, zero, zero)))
+        n = jnp.float32(spp)
+        col = (col[0] / n, col[1] / n, col[2] / n)
+
     out_ref[0] = col[0]
     out_ref[1] = col[1]
     out_ref[2] = col[2]
@@ -400,14 +417,14 @@ def pack_tri_table(scene, chunk: int = CHUNK, split_big: bool = False):
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
-    "unroll_tree", "interpret"))
+    "unroll_tree", "spp", "interpret"))
 def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       height_pad: int, width_pad: int, bounces: int,
                       normalize_defocus_dir: bool, normalize_reflect_in: bool,
                       th: int = 8, tw: int = 256, chunk: int = CHUNK,
                       has_metal: bool = True, has_dielectric: bool = True,
                       sky_from_final_dir: bool = False, unroll: int = 1,
-                      unroll_tree: bool = False,
+                      unroll_tree: bool = False, spp: int = 1,
                       interpret: bool = False):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
     tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
@@ -426,7 +443,7 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir,
-        unroll=unroll, unroll_tree=unroll_tree)
+        unroll=unroll, unroll_tree=unroll_tree, spp=spp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),
@@ -519,6 +536,25 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
     payf_ref[9] = primary_dy
     state_ref[...] = state
     active_ref[...] = active
+
+
+def _wave_raygen_kernel(cam_ref, time_ref, od_ref, pdy_ref, state_ref, *,
+                        height: int, width: int, th: int, tw: int,
+                        normalize_defocus_dir: bool):
+    """Raygen WITHOUT bounce 0 — the spp>1 wavefront path re-traces the same
+    primary ray spp times with threaded RNG state (the reference's
+    SAMPLE_PER_FRAME loop makes the ray once, fs_main), so the primary
+    payload and post-raygen state are emitted once and every sample's bounce
+    pipeline starts from them."""
+    state, o, d, primary_dy = _tile_rays(
+        cam_ref, time_ref[pl.program_id(0), 0], pl.program_id(1),
+        pl.program_id(2), th=th, tw=tw, height=height, width=width,
+        normalize_defocus_dir=normalize_defocus_dir)
+    for c in range(3):
+        od_ref[c] = o[c]
+        od_ref[3 + c] = d[c]
+    pdy_ref[...] = primary_dy
+    state_ref[...] = state
 
 
 def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
@@ -620,7 +656,7 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
     "unroll_tree", "split_big", "interpret", "sort", "key_bits",
-    "key_dir_bits", "key_dmajor", "sort_every"))
+    "key_dir_bits", "key_dmajor", "sort_every", "spp"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -633,12 +669,18 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            interpret: bool = False, sort: bool = True,
                            key_bits: int = 8, key_dir_bits: int = 1,
                            key_dmajor: bool = False,
-                           sort_every: int = 1):
+                           sort_every: int = 1, spp: int = 1):
     """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
 
     ``time`` is (F, 1) u32, one time uniform per frame; all F frames' rays
     trace as ONE sorted stream (per-frame results are bit-identical to F
-    single-frame calls — rays never interact)."""
+    single-frame calls — rays never interact).
+
+    spp > 1 (SAMPLE_PER_FRAME, shader fs_main): the SAME primary rays are
+    re-traced spp times with the per-pixel RNG state THREADED across samples
+    (scattered back to pixel order between samples), and the sample sum is
+    averaged — bit-equal to the oracle renderer's sample loop.  Each sample
+    runs the full sorted-stream bounce pipeline."""
     tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk,
                                                     split_big=split_big)
     eye = cam_row[0, 0:3]
@@ -656,42 +698,14 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
 
     n_frames = time.shape[0]
     nh = height_pad // th
-    first = functools.partial(
-        _wave_first_kernel, height=height, width=width, th=th, tw=tw,
-        normalize_defocus_dir=normalize_defocus_dir, **common)
-    payf, state, active = pl.pallas_call(
-        first,
-        out_shape=(jax.ShapeDtypeStruct(
-                       (10, n_frames * height_pad, width_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((n_frames * height_pad, width_pad),
-                                        jnp.uint32),
-                   jax.ShapeDtypeStruct((n_frames * height_pad, width_pad),
-                                        jnp.int32)),
-        grid=(n_frames, nh, width_pad // tw),
-        in_specs=[vmem, smem, vmem, vmem, smem, smem],
-        out_specs=(pl.BlockSpec((10, th, tw),
-                                lambda f, i, j: (0, f * nh + i, j),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
-                                memory_space=pltpu.VMEM)),
-        interpret=interpret,
-    )(tab, mats, chunks, order, cam_row, time)
-
     n = n_frames * height_pad * width_pad
     rows = n // tw
-    payf = payf.reshape(10, n)
-    pay, pdy = payf[0:9], payf[9]
-    state = state.reshape(n)
-    active = active.reshape(n)
-    pix = jnp.arange(n, dtype=jnp.int32)
+    n_tiles = rows // th
 
     # scene bounds for the sort key (from the chunk AABBs)
     lo = jnp.min(chunks[:, 0:3], axis=0)
     inv_span = 1.0 / jnp.maximum(jnp.max(chunks[:, 3:6], axis=0) - lo, 1e-30)
 
-    n_tiles = rows // th
     ray_specs = (pl.BlockSpec((9, th, tw), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((th, tw), lambda i: (i, 0),
@@ -720,45 +734,148 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
             input_output_aliases={4: 0, 5: 1, 6: 2},
             interpret=interpret)(*operands)
 
-    for b in range(1, bounces, sort_every):
-        nb = min(sort_every, bounces - b)
-        if sort:
-            # ONE variadic sort moves the whole payload with the key —
-            # measured ~10x cheaper than argsort + per-array gathers
-            # (XLA TPU gathers at element granularity are the bottleneck)
-            key = _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
-                                bits=key_bits, dir_bits=key_dir_bits,
-                                dmajor=key_dmajor)
-            ops = jax.lax.sort(
-                (key, *(pay[i] for i in range(9)), state, active, pix, pdy),
-                num_keys=1)
-            pay = jnp.stack(ops[1:10])
-            state, active, pix, pdy = ops[10:14]
-        # per-tile front-to-back chunk order from each tile's mean ray
-        # origin — secondary tiles sit anywhere in the scene, so the
-        # camera-based global order would defeat the `tmin < best_t`
-        # rejection.  Visit order never changes the closest hit (strict
-        # t < best), only how early far chunks get rejected.
-        mo = pay[0:3].reshape(3, n_tiles, th * tw).mean(axis=2)
-        tdist = jnp.sum((centroid[None, :, :] - mo.T[:, None, :]) ** 2,
-                        axis=2)                          # (n_tiles, n_chunks)
-        tile_order = jnp.argsort(tdist, axis=1).astype(
-            jnp.int32).reshape(-1, 1)                # (n_tiles*n_chunks, 1)
-        payp, state2, active2 = bounce_call(
-            nb, tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
-            state.reshape(rows, tw), active.reshape(rows, tw))
-        pay = payp.reshape(9, n)
-        state = state2.reshape(n)
-        active = active2.reshape(n)
+    def stream_bounces(pay, state, active, pix, pdy, b_start):
+        """Bounces b_start..bounces-1 over the ray stream, re-sorting every
+        ``sort_every`` launches (never before b_start itself when it's 0 —
+        primary rays are already pixel-coherent)."""
+        for b in range(b_start, bounces, sort_every):
+            nb = min(sort_every, bounces - b)
+            if sort and b > 0:
+                # ONE variadic sort moves the whole payload with the key —
+                # measured ~10x cheaper than argsort + per-array gathers
+                # (XLA TPU gathers at element granularity are the bottleneck)
+                key = _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
+                                    bits=key_bits, dir_bits=key_dir_bits,
+                                    dmajor=key_dmajor)
+                ops = jax.lax.sort(
+                    (key, *(pay[i] for i in range(9)), state, active, pix,
+                     pdy),
+                    num_keys=1)
+                pay = jnp.stack(ops[1:10])
+                state, active, pix, pdy = ops[10:14]
+            # per-tile front-to-back chunk order from each tile's mean ray
+            # origin — secondary tiles sit anywhere in the scene, so the
+            # camera-based global order would defeat the `tmin < best_t`
+            # rejection.  Visit order never changes the closest hit (strict
+            # t < best), only how early far chunks get rejected.
+            mo = pay[0:3].reshape(3, n_tiles, th * tw).mean(axis=2)
+            tdist = jnp.sum((centroid[None, :, :] - mo.T[:, None, :]) ** 2,
+                            axis=2)                      # (n_tiles, n_chunks)
+            tile_order = jnp.argsort(tdist, axis=1).astype(
+                jnp.int32).reshape(-1, 1)            # (n_tiles*n_chunks, 1)
+            payp, state2, active2 = bounce_call(
+                nb, tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
+                state.reshape(rows, tw), active.reshape(rows, tw))
+            pay = payp.reshape(9, n)
+            state = state2.reshape(n)
+            active = active2.reshape(n)
+        return pay, state, active, pix, pdy
 
-    # color = atten * sky(primary dy) (tc.sky_times_atten, elementwise);
-    # sky_from_final_dir (extension) reads the final direction's y from the
-    # payload instead of the carried primary dy.
-    atten = (pay[6], pay[7], pay[8])
-    col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy, atten)
-    color = jnp.stack(col)                               # (3, n)
-    img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
-    img = img.reshape(3, n_frames, height_pad, width_pad)
+    def stream_color(pay, pix, pdy):
+        # color = atten * sky(primary dy) (tc.sky_times_atten, elementwise);
+        # sky_from_final_dir (extension) reads the final direction's y from
+        # the payload instead of the carried primary dy.
+        atten = (pay[6], pay[7], pay[8])
+        col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy,
+                                 atten)
+        color = jnp.stack(col)                           # (3, n)
+        return jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
+
+    if spp == 1:
+        first = functools.partial(
+            _wave_first_kernel, height=height, width=width, th=th, tw=tw,
+            normalize_defocus_dir=normalize_defocus_dir, **common)
+        payf, state, active = pl.pallas_call(
+            first,
+            out_shape=(jax.ShapeDtypeStruct(
+                           (10, n_frames * height_pad, width_pad),
+                           jnp.float32),
+                       jax.ShapeDtypeStruct(
+                           (n_frames * height_pad, width_pad), jnp.uint32),
+                       jax.ShapeDtypeStruct(
+                           (n_frames * height_pad, width_pad), jnp.int32)),
+            grid=(n_frames, nh, width_pad // tw),
+            in_specs=[vmem, smem, vmem, vmem, smem, smem],
+            out_specs=(pl.BlockSpec((10, th, tw),
+                                    lambda f, i, j: (0, f * nh + i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((th, tw),
+                                    lambda f, i, j: (f * nh + i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((th, tw),
+                                    lambda f, i, j: (f * nh + i, j),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(tab, mats, chunks, order, cam_row, time)
+
+        payf = payf.reshape(10, n)
+        pay, pdy = payf[0:9], payf[9]
+        state = state.reshape(n)
+        active = active.reshape(n)
+        pix = jnp.arange(n, dtype=jnp.int32)
+        pay, state, active, pix, pdy = stream_bounces(pay, state, active,
+                                                      pix, pdy, 1)
+        img = stream_color(pay, pix, pdy)
+        img = img.reshape(3, n_frames, height_pad, width_pad)
+        return jnp.moveaxis(img, 1, 0)                   # (F, 3, Hp, Wp)
+
+    # ---- spp > 1: primary rays once, spp full bounce pipelines with the
+    # RNG state threaded across samples in pixel order ----------------------
+    raygen = functools.partial(
+        _wave_raygen_kernel, height=height, width=width, th=th, tw=tw,
+        normalize_defocus_dir=normalize_defocus_dir)
+    od, pdy0, state0 = pl.pallas_call(
+        raygen,
+        out_shape=(jax.ShapeDtypeStruct(
+                       (6, n_frames * height_pad, width_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((n_frames * height_pad, width_pad),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_frames * height_pad, width_pad),
+                                        jnp.uint32)),
+        grid=(n_frames, nh, width_pad // tw),
+        in_specs=[smem, smem],
+        out_specs=(pl.BlockSpec((6, th, tw),
+                                lambda f, i, j: (0, f * nh + i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(cam_row, time)
+    od = od.reshape(6, n)
+    pdy0 = pdy0.reshape(n)
+    state0 = state0.reshape(n)
+    ones3 = jnp.ones((3, n), jnp.float32)
+    pix0 = jnp.arange(n, dtype=jnp.int32)
+
+    def sample_body(carry, _):
+        state_px, acc = carry
+        pay = jnp.concatenate([od, ones3])
+        active = jnp.ones((n,), jnp.int32)
+        pay, state, active, pix, pdy = stream_bounces(pay, state_px, active,
+                                                      pix0, pdy0, 0)
+        # scatter ATTEN back to pixel order first and multiply by the sky
+        # afterwards: keeps the trailing multiply-add adjacent so XLA
+        # contracts it into the same fma as the monolithic kernel's in-loop
+        # `acc + sky*atten` — bit-identical accumulation across backends
+        planes = [pay[6], pay[7], pay[8]]
+        if sky_from_final_dir:
+            planes.append(pay[4])
+        px = jnp.zeros((len(planes), n), jnp.float32).at[:, pix].set(
+            jnp.stack(planes))
+        col = jnp.stack(tc.sky_times_atten(
+            px[3] if sky_from_final_dir else pdy0, (px[0], px[1], px[2])))
+        # thread the RNG state to the next sample, back in pixel order
+        state_px = jnp.zeros((n,), jnp.uint32).at[pix].set(state)
+        return (state_px, acc + col), None
+
+    (_, acc), _ = jax.lax.scan(
+        sample_body, (state0, jnp.zeros((3, n), jnp.float32)), None,
+        length=spp)
+    # true divide (not reciprocal-multiply) to match the oracle's /spp
+    img = (acc / jnp.float32(spp)).reshape(3, n_frames, height_pad,
+                                           width_pad)
     return jnp.moveaxis(img, 1, 0)                       # (F, 3, Hp, Wp)
 
 

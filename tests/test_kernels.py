@@ -24,9 +24,10 @@ from rt.scene import scenes
 W, H = 64, 32
 
 
-def _compare(sd, bounces, max_flip_frac=0.08, max_mae_pct=0.3):
+def _compare(sd, bounces, max_flip_frac=0.08, max_mae_pct=0.3, spp=1):
     sd = dataclasses.replace(
-        sd, config=dataclasses.replace(sd.config, bounces=bounces))
+        sd, config=dataclasses.replace(sd.config, bounces=bounces,
+                                       samples_per_frame=spp))
     t = jnp.uint32(1000)
     a = np.asarray(render_color(sd.scene, sd.camera, sd.config, t))
     b = np.asarray(k_render(sd.scene, sd.camera, sd.config, t,
@@ -78,6 +79,38 @@ def test_wavefront_equals_monolithic(builder):
     sd = builder(64, 32)
     t = jnp.uint32(1000)
     cfg = dataclasses.replace(sd.config, bounces=3,
+                              backend="pallas_mono")
+    a = np.asarray(k_render(sd.scene, sd.camera, cfg, t, interpret=True))
+    cfg_w = dataclasses.replace(cfg, backend="pallas_wave")
+    b = np.asarray(k_render(sd.scene, sd.camera, cfg_w, t, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sphere_kernel_spp_matches_oracle():
+    """samples_per_frame > 1: the in-kernel sample loop (same primary ray,
+    RNG state threaded across samples, true-divide average) matches the
+    oracle renderer's sample loop (rt/render/renderer.py:63-70) — the
+    reference's SAMPLE_PER_FRAME semantics (shader_sphere.wgsl:259-262)."""
+    _compare(scenes.test_scene_metal(W, H), bounces=4, spp=3)
+
+
+@pytest.mark.parametrize("backend", ["pallas_mono", "pallas"])
+def test_tris_kernel_spp_matches_oracle(backend):
+    """spp loop in the monolithic triangle kernel and the wavefront
+    pipeline (per-sample stream passes with pixel-order state threading)."""
+    sd = scenes.scene_cube(W, H)
+    sd = dataclasses.replace(
+        sd, config=dataclasses.replace(sd.config, backend=backend))
+    _compare(sd, bounces=3, spp=3)
+
+
+def test_wave_spp_equals_mono_spp():
+    """At spp > 1 the wavefront sample loop (state scattered back to pixel
+    order between samples) is bit-identical to the monolithic kernel's
+    in-kernel sample loop."""
+    sd = scenes.scene_cube(64, 32)
+    t = jnp.uint32(1000)
+    cfg = dataclasses.replace(sd.config, bounces=3, samples_per_frame=3,
                               backend="pallas_mono")
     a = np.asarray(k_render(sd.scene, sd.camera, cfg, t, interpret=True))
     cfg_w = dataclasses.replace(cfg, backend="pallas_wave")

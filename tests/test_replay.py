@@ -161,6 +161,31 @@ def test_gather_rows_bit_equal_to_native():
         np.asarray(table[idx]))
 
 
+def test_gather_rows_nonfinite_rows_stay_isolated():
+    """A NaN/Inf entry in the table must only reach rows that SELECT it —
+    the native-gather semantics.  The naive one-hot matmul would poison the
+    whole column (0.0 * NaN = NaN); this is reachable via the BVH build's
+    NaN normals for degenerate triangles (ADVICE r2, rt/grad/gather.py)."""
+    from rt.grad.gather import gather_rows
+    rng = np.random.default_rng(11)
+    table = np.asarray(rng.standard_normal((20, 5)), np.float32)
+    table[3, 1] = np.nan
+    table[7, 0] = np.inf
+    table[7, 4] = -np.inf
+    table = jnp.asarray(table)
+    idx = jnp.asarray(rng.integers(0, 20, size=(97,)), jnp.int32)
+    got = np.asarray(gather_rows(table, idx))
+    want = np.asarray(table)[np.asarray(idx)]
+    np.testing.assert_array_equal(got, want)  # NaN == NaN positionally
+    # rows not selecting 3 or 7 are finite
+    clean = ~np.isin(np.asarray(idx), [3, 7])
+    assert np.isfinite(got[clean]).all()
+    # gradient through the guarded gather stays finite
+    g = jax.grad(lambda t: jnp.sum(jnp.where(
+        jnp.isfinite(gather_rows(t, idx)), gather_rows(t, idx), 0.0)))(table)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_gather_rows_grad_is_scatter_add():
     """d/dtable of sum(f(table[idx])) via the one-hot matmul equals the
     native gather's gradient (the scatter-add both paths must produce)."""
