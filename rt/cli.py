@@ -43,6 +43,10 @@ def parse_args(argv=None):
                    default="jax")
     p.add_argument("--time-step", type=int, default=10,
                    help="ms added to the RNG time uniform per frame")
+    p.add_argument("--spp", type=int, default=None,
+                   help="samples per frame (SAMPLE_PER_FRAME; default = the "
+                        "reference's 1) — an in-kernel sample loop with the "
+                        "RNG state threaded across samples")
     p.add_argument("--start-time", type=int, default=1000)
     p.add_argument("--batch", type=int, default=25,
                    help="frames per compiled render_frames call")
@@ -85,10 +89,14 @@ def main(argv=None) -> int:
         sd = scenes.scene_sphere_globe(w, h, seed=args.seed)
     else:
         sd = scenes.build_scene(scene_id, w, h)
+    cfg_kw = dict(backend=args.backend)
+    if args.spp is not None:
+        cfg_kw["samples_per_frame"] = args.spp
     sd = dataclasses.replace(
-        sd, config=dataclasses.replace(sd.config, backend=args.backend))
+        sd, config=dataclasses.replace(sd.config, **cfg_kw))
     print(f"scene {scene_id} ({sd.name}), {w}x{h}, {args.frames} frames, "
-          f"backend={sd.config.backend}", file=sys.stderr)
+          f"spp={sd.config.samples_per_frame}, backend={sd.config.backend}",
+          file=sys.stderr)
 
     r = ProgressiveRenderer(sd)
     if args.sharded:

@@ -208,6 +208,27 @@ def test_soft_camera_recovery():
     assert err < 0.08, f"eye error {err}"
 
 
+@pytest.mark.slow
+def test_soft_camera_fov_recovery():
+    """Recover a field-of-view offset — a second, independent pose degree
+    of freedom (fov rescales every ray direction; silhouettes shift
+    continuously, which only the soft surrogate can follow)."""
+    from rt.grad import look_at_jnp
+    from rt.grad.soft import recover_camera, soft_render
+    sd = tiny_scene()
+    true_cp = CameraParams.create((0.0, 0.0, 3.5), (0.0, 0.0, 0.0), 3.5,
+                                  0.04, np.pi * 0.2)
+    target = soft_render(sd.scene, look_at_jnp(true_cp), sd.config,
+                         jnp.uint32(1000), tau=0.02)
+    init = CameraParams.create((0.0, 0.0, 3.5), (0.0, 0.0, 0.0), 3.5,
+                               0.04, np.pi * 0.26)
+    rec, _ = recover_camera(sd.scene, sd.config, target, init,
+                            steps=240, learning_rate=1e-2,
+                            optimize_fields=("fov",))
+    err = abs(float(rec.fov) - float(true_cp.fov))
+    assert err < 0.02, f"fov error {err}"
+
+
 # ---------------------------------------------------------------------------
 # Geometry gradients (VERDICT r1 item 4 / BASELINE acceptance: FD-verified
 # pixel gradients w.r.t. camera / material / GEOMETRY).
