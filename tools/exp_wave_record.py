@@ -45,8 +45,13 @@ def main():
 
         recs = {}
         for backend in ("mono", "wave"):
-            rec = jax.jit(lambda be=backend: record_hits_pallas(
-                sd.scene, sd.camera, cfg, t, tris_backend=be))
+            # EAGER, not jax.jit-wrapped: under an outer jit XLA scope-
+            # allocates the recorder's pallas outputs (13 x H x W planes) in
+            # VMEM and OOMs at dragon scale (26.4M > the 16M scoped limit);
+            # eagerly each pallas_call jits alone and outputs land in HBM.
+            # fit_replay calls the recorder eagerly for the same reason.
+            rec = lambda be=backend: record_hits_pallas(
+                sd.scene, sd.camera, cfg, t, tris_backend=be)
             try:
                 color, hits = timed(f"{name} record [{backend}]", rec)
             except Exception as e:  # noqa: BLE001 — e.g. mono VMEM OOM on dragon
