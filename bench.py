@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="suzanne",
                    choices=["suzanne", "sphere_simple", "lucy", "dragon",
-                            "perf", "cover"])
+                            "perf", "cover", "one_sphere", "three_spheres"])
     p.add_argument("--size", default="512x512")
     # 256 frames per compiled call: the axon tunnel adds ~26 ms of
     # per-dispatch latency plus a ~3 MB image readback, so a small batch
@@ -67,7 +67,11 @@ def main(argv=None) -> int:
                 "dragon": scenes.scene_dragon,
                 "perf": scenes.test_scene_perf,
                 # BASELINE config 3: ~490-sphere RTIOW cover, 1280x720
-                "cover": scenes.scene_sphere_cover}
+                "cover": scenes.scene_sphere_cover,
+                # BASELINE configs 1-2 (tools/bench_configs.py runs them at
+                # their canonical spp/resolution)
+                "one_sphere": scenes.scene_rtiow_one_sphere,
+                "three_spheres": scenes.scene_rtiow_three_spheres}
     sd = builders[args.scene](w, h)
 
     platform = jax.devices()[0].platform

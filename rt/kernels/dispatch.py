@@ -67,23 +67,40 @@ def render_color(scene, camera, config: RenderConfig, time,
     has_dielectric = MAT_DIELECTRIC in config.mat_kinds
 
     if isinstance(scene, SphereArray):
-        from rt.kernels.sphere_kernel import render_color_spheres
         tab, kinds, n = pack_spheres_table(scene)
         if 0 < config.n_active_spheres < n:
             n = config.n_active_spheres
-        color = render_color_spheres(
-            tab, kinds, cam_row, time_arr, n_spheres=n, height=h, width=w,
-            height_pad=hp, width_pad=wp,
-            bounces=config.bounces,
-            normalize_defocus_dir=config.normalize_defocus_dir,
-            normalize_reflect_in=config.normalize_reflect_in,
-            th=th, tw=tw, has_metal=has_metal,
-            has_dielectric=has_dielectric,
-            sky_from_final_dir=config.sky_from_final_dir,
-            # past the reference's 100-sphere cap the table outgrows SMEM;
-            # VMEM scalar reads are the same (dynamic row, static col) form
-            table_in_vmem=tab.shape[0] > 128,
-            spp=spp, interpret=interpret)
+        if n > 128:
+            # Past the reference's 100-sphere cap (scene_sphere.rs:15) a
+            # flat scan pays O(N) per segment — the Morton-chunk-culled
+            # variant (slab-tested chunks of 32, front-to-back, as in the
+            # triangle path) replaces it for large scenes like the ~490-
+            # sphere RTIOW cover (BASELINE config 3).  Reordering only
+            # affects measure-zero exact-t ties (strict t < best).
+            from rt.kernels.sphere_kernel import render_color_spheres_chunked
+            color = render_color_spheres_chunked(
+                tab, kinds, cam_row, time_arr, n_spheres=n, height=h,
+                width=w, height_pad=hp, width_pad=wp,
+                bounces=config.bounces,
+                normalize_defocus_dir=config.normalize_defocus_dir,
+                normalize_reflect_in=config.normalize_reflect_in,
+                th=th, tw=tw, has_metal=has_metal,
+                has_dielectric=has_dielectric,
+                sky_from_final_dir=config.sky_from_final_dir,
+                spp=spp, unroll=4, interpret=interpret)
+        else:
+            from rt.kernels.sphere_kernel import render_color_spheres
+            color = render_color_spheres(
+                tab, kinds, cam_row, time_arr, n_spheres=n, height=h,
+                width=w, height_pad=hp, width_pad=wp,
+                bounces=config.bounces,
+                normalize_defocus_dir=config.normalize_defocus_dir,
+                normalize_reflect_in=config.normalize_reflect_in,
+                th=th, tw=tw, has_metal=has_metal,
+                has_dielectric=has_dielectric,
+                sky_from_final_dir=config.sky_from_final_dir,
+                table_in_vmem=False,
+                spp=spp, interpret=interpret)
     elif isinstance(scene, TriangleScene):
         # The wavefront backend (per-bounce kernels + coherence-sorted ray
         # streams) measured ~2.5x the monolithic kernel's compute on

@@ -160,6 +160,32 @@ def scene_sphere_cover(width=1280, height=720, seed: int = 7) -> SceneDef:
     return _sphere_scene("sphere_cover", objs, cam, width, height)
 
 
+def scene_rtiow_one_sphere(width=400, height=225) -> SceneDef:
+    """BASELINE config 1 — the RTIOW "PR1" minimal scene: a single gray
+    Lambertian sphere on a ground sphere (400x225, 16 spp, 4 bounces).
+    Not a reference scene (driver-set config); transport semantics are the
+    reference's (shader_sphere.wgsl trace/scatter)."""
+    cam = look_at((0.0, 0.0, 0.5), (0.0, 0.0, -1.0), 1.5, 0.0, PI * 0.3)
+    objs = [
+        sph_lambertian((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5)),
+        sph_lambertian((0.0, 0.0, -1.0), 0.5, (0.5, 0.5, 0.5)),
+    ]
+    return _sphere_scene("rtiow_one_sphere", objs, cam, width, height)
+
+
+def scene_rtiow_three_spheres(width=800, height=450) -> SceneDef:
+    """BASELINE config 2 — the RTIOW three-material scene: diffuse center,
+    dielectric left, metal right, on a ground sphere (800x450, 64 spp)."""
+    cam = look_at((0.0, 0.0, 0.8), (0.0, 0.0, -1.0), 1.8, 0.0, PI * 0.3)
+    objs = [
+        sph_lambertian((0.0, -100.5, -1.0), 100.0, (0.8, 0.8, 0.0)),
+        sph_lambertian((0.0, 0.0, -1.0), 0.5, (0.1, 0.2, 0.5)),
+        sph_dielectric((-1.0, 0.0, -1.0), 0.5, 1.5),
+        sph_metal((1.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.0),
+    ]
+    return _sphere_scene("rtiow_three_spheres", objs, cam, width, height)
+
+
 def _tris_scene(name, meshes, camera, width=512, height=512) -> SceneDef:
     tree = bvh_mod.build_tree(meshes)
     kinds = tuple(sorted({int(m[2]) for m in tree.materials})) \

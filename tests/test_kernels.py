@@ -54,6 +54,17 @@ def test_sphere_kernel_full_depth():
     _compare(scenes.test_scene_complex(W, H), bounces=10)
 
 
+@pytest.mark.parametrize("builder,mae", [
+    (scenes.scene_rtiow_one_sphere, 0.5),
+    # three_spheres holds a dielectric: Schlick-Bernoulli branch flips weigh
+    # ~0.05% each at 64x32 x 1 frame (same band as dielectric_materials)
+    (scenes.scene_rtiow_three_spheres, 1.5)])
+def test_baseline_config_scenes_match_oracle(builder, mae):
+    """BASELINE configs 1-2 (RTIOW one-sphere / three-materials) render
+    through the same flat sphere kernel; parity with the oracle."""
+    _compare(builder(W, H), bounces=4, max_mae_pct=mae)
+
+
 @pytest.mark.parametrize("builder", [scenes.scene_quad, scenes.scene_cube])
 def test_tris_kernel_matches_oracle(builder):
     _compare(builder(W, H), bounces=3)
@@ -179,11 +190,68 @@ def test_render_frames_batched_equals_loop():
 
 
 def test_cover_scene_vmem_table_matches_oracle():
-    """The ~490-sphere cover scene exceeds the SMEM table budget, so the
-    dispatch moves the sphere/kind tables to VMEM (same (dynamic row,
-    static column) scalar reads) — parity with the oracle must hold
-    through that path too."""
+    """The ~490-sphere cover scene routes through the Morton-chunk-culled
+    sphere kernel (dispatch switches past the reference's 100-sphere cap) —
+    parity with the oracle must hold through that path too."""
     _compare(scenes.scene_sphere_cover(W, H), bounces=4, max_mae_pct=0.5)
+
+
+def test_sphere_chunked_equals_flat_bitwise():
+    """The chunk-culled sphere kernel must agree BITWISE with a flat scan
+    over the SAME Morton-ordered padded table: per-pair arithmetic is
+    identical, culling is conservative (a sphere is inside its chunk AABB),
+    and ``tmin < best`` pruning only skips chunks that cannot improve the
+    strict closest hit.  Exact-t ties across chunks are the only admissible
+    divergence (measure-zero; none in this scene)."""
+    import dataclasses as dc
+
+    from rt.kernels.dispatch import pack_camera, pack_spheres_table, \
+        _round_up
+    from rt.kernels.sphere_kernel import (pack_spheres_chunked,
+                                          render_color_spheres,
+                                          render_color_spheres_chunked)
+    sd = scenes.scene_sphere_cover(W, H)
+    cfg = dc.replace(sd.config, bounces=4)
+    tab, kinds, n = pack_spheres_table(sd.scene)
+    cam_row = pack_camera(sd.camera)
+    t = jnp.uint32(1000).reshape(1, 1)
+    h, w = cfg.height, cfg.width
+    th = min(16, _round_up(h, 8))
+    tw = min(256, _round_up(w, 128))
+    common = dict(height=h, width=w, height_pad=_round_up(h, th),
+                  width_pad=_round_up(w, tw), bounces=cfg.bounces,
+                  normalize_defocus_dir=cfg.normalize_defocus_dir,
+                  normalize_reflect_in=cfg.normalize_reflect_in,
+                  th=th, tw=tw, interpret=True)
+    a = np.asarray(render_color_spheres_chunked(
+        tab, kinds, cam_row, t, n_spheres=n, unroll=1, **common))
+    # flat scan over the identical Morton-ordered padded table (padding rows
+    # are deterministic misses: radius -1e30 makes the candidate t -inf)
+    sph, kk, _, n_pad, _ = pack_spheres_chunked(tab, kinds, n)
+    b = np.asarray(render_color_spheres(
+        sph, kk, cam_row, t, n_spheres=n_pad, table_in_vmem=True, **common))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sphere_chunked_unroll_bit_identical():
+    """Sphere-scan unrolling is a pure scheduling change (ascending order
+    within the chunk is preserved) — bit-identical to unit stride."""
+    from rt.kernels.dispatch import pack_camera, pack_spheres_table
+    from rt.kernels.sphere_kernel import render_color_spheres_chunked
+    sd = scenes.scene_sphere_cover(W, H)
+    tab, kinds, n = pack_spheres_table(sd.scene)
+    cam_row = pack_camera(sd.camera)
+    t = jnp.uint32(1000).reshape(1, 1)
+    common = dict(n_spheres=n, height=H, width=W, height_pad=32,
+                  width_pad=256, bounces=4,
+                  normalize_defocus_dir=sd.config.normalize_defocus_dir,
+                  normalize_reflect_in=sd.config.normalize_reflect_in,
+                  th=16, tw=256, interpret=True)
+    a = np.asarray(render_color_spheres_chunked(tab, kinds, cam_row, t,
+                                                unroll=1, **common))
+    b = np.asarray(render_color_spheres_chunked(tab, kinds, cam_row, t,
+                                                unroll=4, **common))
+    np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.parametrize("kw", [dict(unroll=2), dict(unroll=4),
