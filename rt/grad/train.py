@@ -122,7 +122,7 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
                scene_fields=dict(albedo=True, mat_param=False),
                init_params: Optional[dict] = None,
                gather_mode: str = "auto", frozen_geometry: bool = True,
-               recorder: str = "auto", log_every: int = 0):
+               recorder: str = "auto", log_every: int = 0, mesh=None):
     """Path-replay inverse rendering — the PRODUCTION loop (fast path).
 
     Outer loop: re-record the Monte-Carlo path structure at the current
@@ -136,6 +136,14 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
 
     Measured on-chip (512²): ~2 orders faster per step than ``fit`` on the
     full differentiable graph.  Returns (params dict, losses list).
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — the BASELINE config-5
+    multi-device form.  The recorded hit stream, target, and pre-gathered
+    replay rows are sharded by image row over the mesh's first axis;
+    parameters and optimizer state stay replicated, and the scalar loss
+    mean makes XLA psum the parameter gradients over the mesh (ICI on a
+    real slice) — classic data parallelism with pixels as the batch.
+    Results match the unsharded loop up to reduction order.
     """
     import numpy as np
 
@@ -165,6 +173,17 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
     opt_state = optimizer.init(params)
     target = jnp.asarray(target, jnp.float32)
     t_u32 = jnp.uint32(time)
+
+    row_s = rep_s = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ax = mesh.axis_names[0]
+        rep_s = NamedSharding(mesh, P())
+        row_s = lambda ndim, axis: NamedSharding(      # noqa: E731
+            mesh, P(*(ax if i == axis else None for i in range(ndim))))
+        target = jax.device_put(target, row_s(target.ndim, 0))
+        params = jax.device_put(params, rep_s)
+        opt_state = jax.device_put(opt_state, rep_s)
 
     if recorder == "auto":
         recorder = ("pallas" if jax.devices()[0].platform == "tpu"
@@ -221,6 +240,13 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
         cam_now = camera_from_params(params.get("camera"), base_camera)
         _, hits = rec_fn(scene_now, cam_now, config, t_u32)
         pre_rows = prep_rows(hits) if pre_tab is not None else None
+        if mesh is not None:
+            # hit stream (bounces, H, W) and pre-gathered rows shard by
+            # image row; the replay graph is pixel-elementwise plus
+            # replicated-table gathers, so XLA needs no other hints
+            hits = jax.device_put(hits, row_s(hits.ndim, 1))
+            if pre_rows is not None:
+                pre_rows = jax.device_put(pre_rows, row_s(pre_rows.ndim, 1))
         params, opt_state, ls = chain(params, opt_state, hits, pre_rows, k)
         losses.extend(np.asarray(ls).tolist())
         done += k

@@ -95,3 +95,25 @@ def test_sample_sharded_render_matches_sequential(mesh):
     seq = [np.asarray(render_color(sd.scene, sd.camera, sd.config, t))
            for t in times]
     np.testing.assert_allclose(out, np.mean(seq, axis=0), atol=2e-6, rtol=0)
+
+
+def test_fit_replay_sharded_matches_unsharded(mesh):
+    """BASELINE config 5's multi-device form: ``fit_replay(mesh=...)``
+    shards the recorded hit stream / target by image row, keeps params
+    replicated, and lets the scalar loss mean psum the gradients.  Losses
+    must match the unsharded loop (same graph up to reduction order)."""
+    from rt.grad.train import fit_replay
+
+    sd = small(scenes.test_scene_metal, 3)
+    from rt.render.renderer import render_color
+    target = render_color(sd.scene, sd.camera, sd.config, jnp.uint32(1000))
+
+    bad = sd.scene._replace(
+        albedo=sd.scene.albedo.at[1].set(jnp.array([0.9, 0.1, 0.1],
+                                                   jnp.float32)))
+    kw = dict(steps=4, rerecord_every=2, learning_rate=5e-2,
+              recorder="oracle")
+    _, losses_ref = fit_replay(bad, sd.camera, sd.config, target, **kw)
+    _, losses_sh = fit_replay(bad, sd.camera, sd.config, target, mesh=mesh,
+                              **kw)
+    np.testing.assert_allclose(losses_sh, losses_ref, rtol=2e-5, atol=1e-8)
