@@ -78,6 +78,10 @@ def render_color(scene, camera, config: RenderConfig, time,
             # sphere RTIOW cover (BASELINE config 3).  Reordering only
             # affects measure-zero exact-t ties (strict t < best).
             from rt.kernels.sphere_kernel import render_color_spheres_chunked
+            # th=32 measured best for the chunked path (1.50e8 vs 1.39e8
+            # seg/s at th=16 on cover 1280x720 b10 — r3 exp_cover_chunked)
+            th = min(32, _round_up(h, 8))
+            hp = _round_up(h, th)
             color = render_color_spheres_chunked(
                 tab, kinds, cam_row, time_arr, n_spheres=n, height=h,
                 width=w, height_pad=hp, width_pad=wp,
@@ -168,7 +172,10 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
         # roundtrips); every bounce for large ones (fresher coherence wins
         # when the chunk-union dominates) — PERF.md
         sort_every=sort_every,
-        # unroll=4: +30% measured on-chip (PERF.md r2 knob sweep)
+        # unroll=4: +30% measured on-chip (PERF.md r2 knob sweep);
+        # split_big: +5% on dragon (r3 knob batch — oversized triangles out
+        # of the Morton clusters), noise elsewhere, so large scenes only
+        split_big=large,
         th=th, tw=tw, chunk=32, unroll=4,
         has_metal=MAT_METAL in config.mat_kinds,
         has_dielectric=MAT_DIELECTRIC in config.mat_kinds,

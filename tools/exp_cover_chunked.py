@@ -68,13 +68,12 @@ def main():
     print(f"platform={jax.devices()[0].platform}", flush=True)
     sd = scenes.scene_sphere_cover(1280, 720)
     for v in [
-        dict(label="flat th16 F=32", variant="flat"),
-        dict(label="chunked u4 th16 F=32"),
-        dict(label="chunked u4 th32", th=32),
-        dict(label="chunked u1 th16", unroll=1),
-        dict(label="chunked u4 chunk=16", chunk=16),
-        dict(label="chunked u4 chunk=64", chunk=64),
-        dict(label="chunked u4 th16 F=128", frames=128),
+        dict(label="chunked u4 th32 F=128", th=32, frames=128),
+        dict(label="chunked u4 th32 tw512 F=128", th=32, tw=512,
+             frames=128),
+        dict(label="chunked u4 th64 F=128", th=64, frames=128),
+        dict(label="chunked u8 th32 F=128", th=32, unroll=8, frames=128),
+        dict(label="chunked u4 th32 spp8 F=16", th=32, spp=8, frames=16),
     ]:
         label = v.pop("label")
         try:

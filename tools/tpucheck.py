@@ -137,6 +137,44 @@ def main(argv=None):
           f"hit frac b0 {hit_frac:.3f} -> {'PASS' if c3['pass'] else 'FAIL'}",
           flush=True)
 
+    # ---- 4. chunked sphere kernel == flat scan (cover scene) --------------
+    # same per-pair arithmetic over the same Morton-ordered table; only
+    # chunk culling + visit order differ (conservative, tie-safe).  On chip
+    # both are separate Mosaic compiles, so allow the 1-ULP contraction band.
+    from rt.kernels.dispatch import pack_camera, pack_spheres_table, \
+        _round_up
+    from rt.kernels.sphere_kernel import (pack_spheres_chunked,
+                                          render_color_spheres,
+                                          render_color_spheres_chunked)
+    sd = scenes.scene_sphere_cover(256, 144)
+    cfg = sd.config
+    tab, kinds, n = pack_spheres_table(sd.scene)
+    cam_row = pack_camera(sd.camera)
+    h, w = cfg.height, cfg.width
+    th, tw = 16, 256
+    common = dict(height=h, width=w, height_pad=_round_up(h, th),
+                  width_pad=_round_up(w, tw), bounces=10,
+                  normalize_defocus_dir=cfg.normalize_defocus_dir,
+                  normalize_reflect_in=cfg.normalize_reflect_in,
+                  th=th, tw=tw)
+    t11 = jnp.uint32(1000).reshape(1, 1)
+    a4 = np.asarray(render_color_spheres_chunked(
+        tab, kinds, cam_row, t11, n_spheres=n, unroll=4, **common))
+    sph, kk, _, n_pad, _ = pack_spheres_chunked(tab, kinds, n)
+    b4 = np.asarray(render_color_spheres(
+        sph, kk, cam_row, t11, n_spheres=n_pad, table_in_vmem=True,
+        **common))
+    eq4 = bool((a4 == b4).all())
+    nd4 = int((a4 != b4).sum())
+    md4 = float(np.abs(a4 - b4).max())
+    c4 = {"bitwise_equal": eq4, "n_diff": nd4, "max_abs_diff": md4,
+          "pass": md4 <= 2e-7}
+    results["checks"]["sphere_chunked_equals_flat_cover"] = c4
+    ok_all &= c4["pass"]
+    print(f"4. chunked==flat cover 256x144 b10: "
+          f"{'BITWISE EQUAL' if eq4 else f'{nd4} diffs, max {md4:.2e}'}"
+          f" -> {'PASS' if c4['pass'] else 'FAIL'}", flush=True)
+
     results["pass"] = bool(ok_all)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
