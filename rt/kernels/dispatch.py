@@ -91,7 +91,11 @@ def render_color(scene, camera, config: RenderConfig, time,
                 th=th, tw=tw, has_metal=has_metal,
                 has_dielectric=has_dielectric,
                 sky_from_final_dir=config.sky_from_final_dir,
-                spp=spp, unroll=4, interpret=interpret)
+                # unroll=32 (the whole chunk): cover 1280x720 b10 measured
+                # 7.5e7 (u1) -> 1.39e8 (u4) -> 2.05e8 (u8) -> 2.38e8 seg/s
+                # (u32) — the scan is issue-bound (r3 exp_cover_chunked /
+                # exp_sphere_unroll)
+                spp=spp, unroll=32, interpret=interpret)
         else:
             from rt.kernels.sphere_kernel import render_color_spheres
             color = render_color_spheres(
@@ -104,6 +108,10 @@ def render_color(scene, camera, config: RenderConfig, time,
                 has_dielectric=has_dielectric,
                 sky_from_final_dir=config.sky_from_final_dir,
                 table_in_vmem=False,
+                # full scan unroll for small tables: +13% on sphere_simple
+                # (3.08 -> 3.48e9 seg/s — r3 exp_sphere_unroll); the scan
+                # is issue-bound on the serialized select chain
+                unroll_all=n <= 32,
                 spp=spp, interpret=interpret)
     elif isinstance(scene, TriangleScene):
         # The wavefront backend (per-bounce kernels + coherence-sorted ray

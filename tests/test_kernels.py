@@ -233,6 +233,28 @@ def test_sphere_chunked_equals_flat_bitwise():
     np.testing.assert_array_equal(a, b)
 
 
+def test_sphere_flat_unroll_all_bit_identical():
+    """Fully unrolling the small-scene flat sphere scan (a Python loop
+    instead of fori_loop, same ascending order) is bit-identical."""
+    from rt.kernels.dispatch import pack_camera, pack_spheres_table
+    from rt.kernels.sphere_kernel import render_color_spheres
+    sd = scenes.scene_sphere_simple(W, H)
+    tab, kinds, n = pack_spheres_table(sd.scene)
+    if 0 < sd.config.n_active_spheres < n:
+        n = sd.config.n_active_spheres
+    cam_row = pack_camera(sd.camera)
+    t = jnp.uint32(1000).reshape(1, 1)
+    common = dict(n_spheres=n, height=H, width=W, height_pad=32,
+                  width_pad=256, bounces=6,
+                  normalize_defocus_dir=sd.config.normalize_defocus_dir,
+                  normalize_reflect_in=sd.config.normalize_reflect_in,
+                  th=16, tw=256, interpret=True)
+    a = np.asarray(render_color_spheres(tab, kinds, cam_row, t, **common))
+    b = np.asarray(render_color_spheres(tab, kinds, cam_row, t,
+                                        unroll_all=True, **common))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sphere_chunked_unroll_bit_identical():
     """Sphere-scan unrolling is a pure scheduling change (ascending order
     within the chunk is preserved) — bit-identical to unit stride."""
