@@ -32,6 +32,9 @@ BUILDERS = {
     # sphere RTIOW cover scene (scene 8) exceeds the reference's cap and
     # has no reference golden
     "cover": (scenes.scene_sphere_cover, 128, 8),
+    # BASELINE configs 1-2 (driver-set scenes, no reference golden)
+    "rtiow_one_sphere": (scenes.scene_rtiow_one_sphere, 128, 8),
+    "rtiow_three_spheres": (scenes.scene_rtiow_three_spheres, 128, 8),
 }
 
 

@@ -83,15 +83,23 @@ def main():
     print(f"platform={jax.devices()[0].platform}", flush=True)
 
     if which in ("suzanne", "all"):
-        print("== suzanne 512x512 b8 F=16 ==", flush=True)
+        print("== suzanne 512x512 b8 F=64 ==", flush=True)
         sd = scenes.scene_suzanne(512, 512)
-        base = dict(bounces=8, th=32, sort_every=2, unroll=4)
+        base = dict(bounces=8, th=32, sort_every=2, unroll=4, frames=64)
         run_variants(sd, base, [
-            dict(label="base (u4 c32 th32 tw256 se2)"),
-            dict(label="tree u4", unroll_tree=True),
-            dict(label="tree u8", unroll=8, unroll_tree=True),
-            dict(label="tw512 th16", tw=512, th=16),
-            dict(label="chunk=64", chunk=64),
+            dict(label="base u4 F=64"),
+            dict(label="u8 F=64", unroll=8),
+            dict(label="u16 F=64", unroll=16),
+            dict(label="u32 F=64", unroll=32),
+        ])
+
+    if which in ("dragon8", "all2"):
+        print("== dragon u8 512x512 b5 F=16 ==", flush=True)
+        sd = scenes.scene_dragon(512, 512)
+        base = dict(bounces=5, th=16, sort_every=1, unroll=4)
+        run_variants(sd, base, [
+            dict(label="dragon u8", unroll=8),
+            dict(label="dragon u16", unroll=16),
         ])
 
     if which in ("lucy", "all"):
