@@ -126,9 +126,9 @@ def render_color(scene, camera, config: RenderConfig, time,
                 bounces=config.bounces,
                 normalize_defocus_dir=config.normalize_defocus_dir,
                 normalize_reflect_in=config.normalize_reflect_in,
-                # unroll=4: +30% measured on-chip (ILP between the
-                # serialized best-t select chains) — PERF.md r2 knobs
-                th=th, tw=tw, chunk=32, unroll=4, has_metal=has_metal,
+                # full-chunk unroll: the scan is issue-bound (r3 probe:
+                # monotonic u4 -> u32 gains on the wave path; same body)
+                th=th, tw=tw, chunk=32, unroll=32, has_metal=has_metal,
                 has_dielectric=has_dielectric,
                 sky_from_final_dir=config.sky_from_final_dir,
                 spp=spp, interpret=interpret)
@@ -180,11 +180,14 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
         # roundtrips); every bounce for large ones (fresher coherence wins
         # when the chunk-union dominates) — PERF.md
         sort_every=sort_every,
-        # unroll=4: +30% measured on-chip (PERF.md r2 knob sweep);
-        # split_big: +5% on dragon (r3 knob batch — oversized triangles out
-        # of the Morton clusters), noise elsewhere, so large scenes only
+        # unroll: the scan is ISSUE-bound (serialized best-t select chain) —
+        # r3 re-probe at F=64 shows monotonic gains past r2's u4: suzanne
+        # 8.40 -> 9.28e7 seg/s at u32; dragon u16 +15% (u16 == u32 there,
+        # smaller code for the 1563-chunk loop).
+        # split_big: +5% on dragon (oversized triangles out of the Morton
+        # clusters), noise elsewhere, so large scenes only.
         split_big=large,
-        th=th, tw=tw, chunk=32, unroll=4,
+        th=th, tw=tw, chunk=32, unroll=16 if large else 32,
         has_metal=MAT_METAL in config.mat_kinds,
         has_dielectric=MAT_DIELECTRIC in config.mat_kinds,
         sky_from_final_dir=config.sky_from_final_dir,

@@ -277,6 +277,7 @@ def test_sphere_chunked_unroll_bit_identical():
 
 
 @pytest.mark.parametrize("kw", [dict(unroll=2), dict(unroll=4),
+                                dict(unroll=32),
                                 dict(unroll=4, unroll_tree=True)])
 def test_unroll_variants_bit_identical(kw):
     """Triangle-scan unrolling (sequential or tree-merged candidates) is a
