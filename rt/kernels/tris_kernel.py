@@ -778,8 +778,13 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         atten = (pay[6], pay[7], pay[8])
         col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy,
                                  atten)
-        color = jnp.stack(col)                           # (3, n)
-        return jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
+        # pix is a permutation of arange(n): ONE variadic sort keyed on it
+        # restores pixel order BIT-IDENTICALLY to the scatter it replaces
+        # (unique keys — stability is moot) at ~half the cost: TPU element
+        # scatters measured 54 ms vs 27 ms for a same-payload sort at 942K
+        # keys, 7.0 vs 4.3 ms at 262K (tools/exp_scatter_sort.py).
+        ops = jax.lax.sort((pix, *col), num_keys=1)
+        return jnp.stack(ops[1:4])                       # (3, n)
 
     if spp == 1:
         first = functools.partial(
@@ -855,19 +860,24 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         active = jnp.ones((n,), jnp.int32)
         pay, state, active, pix, pdy = stream_bounces(pay, state_px, active,
                                                       pix0, pdy0, 0)
-        # scatter ATTEN back to pixel order first and multiply by the sky
+        # restore ATTEN to pixel order first and multiply by the sky
         # afterwards: keeps the trailing multiply-add adjacent so XLA
         # contracts it into the same fma as the monolithic kernel's in-loop
-        # `acc + sky*atten` — bit-identical accumulation across backends
+        # `acc + sky*atten` — bit-identical accumulation across backends.
+        # The restore is ONE variadic sort keyed on pix (a permutation of
+        # arange(n) — unique keys, so bit-identical to the scatters it
+        # replaces) carrying atten AND the RNG state: measured ~2x cheaper
+        # than element scatters, and it merges the separate state scatter
+        # into the same pass (tools/exp_scatter_sort.py).
         planes = [pay[6], pay[7], pay[8]]
         if sky_from_final_dir:
             planes.append(pay[4])
-        px = jnp.zeros((len(planes), n), jnp.float32).at[:, pix].set(
-            jnp.stack(planes))
+        ops = jax.lax.sort((pix, *planes, state), num_keys=1)
+        px = ops[1:1 + len(planes)]
         col = jnp.stack(tc.sky_times_atten(
             px[3] if sky_from_final_dir else pdy0, (px[0], px[1], px[2])))
-        # thread the RNG state to the next sample, back in pixel order
-        state_px = jnp.zeros((n,), jnp.uint32).at[pix].set(state)
+        # the RNG state rides the same sort, back in pixel order
+        state_px = ops[1 + len(planes)]
         return (state_px, acc + col), None
 
     (_, acc), _ = jax.lax.scan(
@@ -1016,10 +1026,12 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
 
     atten = (pay[6], pay[7], pay[8])
     col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy, atten)
-    color = jnp.stack(col)                               # (3, n)
-    img = jnp.zeros((3, n), jnp.float32).at[:, pix].set(color)
-    idx_img = jnp.zeros((bounces, n), jnp.int32).at[:, pix].set(
-        jnp.stack(idxs))
+    # pixel-order restore via ONE variadic sort keyed on pix (permutation,
+    # unique keys → bit-identical to the scatters it replaces, ~2x cheaper;
+    # tools/exp_scatter_sort.py) carrying color AND all idx planes
+    ops = jax.lax.sort((pix, *col, *idxs), num_keys=1)
+    img = jnp.stack(ops[1:4])                            # (3, n)
+    idx_img = jnp.stack(ops[4:4 + bounces])
     return (img.reshape(3, height_pad, width_pad),
             idx_img.reshape(bounces, height_pad, width_pad),
             morton.astype(jnp.int32))
