@@ -7,13 +7,14 @@ Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/exp_720p_knobs2.py
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
 
 from rt.scene import scenes
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from exp_720p_knobs import bench  # noqa: E402
 
 

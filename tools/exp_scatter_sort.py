@@ -67,10 +67,15 @@ def main():
         pix = jnp.asarray(rng.permutation(n).astype(np.int32))
         planes = jnp.asarray(rng.standard_normal((3, n), dtype=np.float32))
         state = jnp.asarray(rng.integers(0, 2**31, n).astype(np.uint32))
+        # one reps variable feeds BOTH the jitted loop count and the
+        # per-op normalization — changing either alone can't skew timings
         reps = 8
-        ts = timed(scatter3, pix, planes) / reps * 1e3
-        tt = timed(sort4, pix, planes) / reps * 1e3
-        tu = timed(scatter1_state, pix, state) / reps * 1e3
+        ts = timed(functools.partial(scatter3, reps=reps), pix,
+                   planes) / reps * 1e3
+        tt = timed(functools.partial(sort4, reps=reps), pix,
+                   planes) / reps * 1e3
+        tu = timed(functools.partial(scatter1_state, reps=reps), pix,
+                   state) / reps * 1e3
         # correctness: sort-by-pix == scatter
         got = np.asarray(sort4(pix, planes, reps=1))
         want = np.asarray(scatter3(pix, planes, reps=1))
