@@ -144,6 +144,46 @@ def render_color(scene, camera, config: RenderConfig, time,
     return color
 
 
+def wave_params(scene, config: RenderConfig) -> dict:
+    """Measured-best wavefront kernel knobs for this scene/config — shared
+    by the single-device path below and the sharded path (rt/dist/wave.py)
+    so both launch the SAME kernels.
+
+    - th=32 / chunk=32 / 8-bit origin-major key measured best on-chip for
+      suzanne-scale scenes (55.6 ms/frame vs 59-69 for neighbors); LARGE
+      scenes are pair-work-bound (tile chunk-union >> fixed costs — the
+      r2 union analysis), so they take smaller tiles + per-bounce sorting:
+      lucy 512² b5 measured 1.37e7 seg/s with th=16/sort_every=1 vs 1.11e7
+      with suzanne's config (PERF.md r2 retune).
+    - unroll: the scan is ISSUE-bound (serialized best-t select chain) —
+      r3 re-probe at F=64 shows monotonic gains past r2's u4: suzanne
+      8.40 -> 9.28e7 seg/s at u32; dragon u16 +15% (u16 == u32 there,
+      smaller code for the 1563-chunk loop).
+    - split_big: +5% on dragon (oversized triangles out of the Morton
+      clusters), noise elsewhere, so large scenes only.
+    """
+    from rt.config import MAT_DIELECTRIC, MAT_METAL
+
+    h, w = config.height, config.width
+    large = scene.m > 8192
+    return dict(
+        bounces=config.bounces,
+        normalize_defocus_dir=config.normalize_defocus_dir,
+        normalize_reflect_in=config.normalize_reflect_in,
+        # re-sort every 2 bounces for small scenes (halves sort + payload
+        # roundtrips); every bounce for large ones (fresher coherence wins
+        # when the chunk-union dominates) — PERF.md
+        sort_every=1 if large else 2,
+        split_big=large,
+        th=min(16 if large else 32, _round_up(h, 8)),
+        tw=min(256, _round_up(w, 128)),
+        chunk=32, unroll=16 if large else 32,
+        has_metal=MAT_METAL in config.mat_kinds,
+        has_dielectric=MAT_DIELECTRIC in config.mat_kinds,
+        sky_from_final_dir=config.sky_from_final_dir,
+        spp=config.samples_per_frame)
+
+
 def render_color_frames(scene, camera, config: RenderConfig, times,
                         interpret: bool = False):
     """(F, H, W, 3) colors for F frames of a TriangleScene in ONE wavefront
@@ -153,46 +193,17 @@ def render_color_frames(scene, camera, config: RenderConfig, times,
     fixed costs — the batched analog of the reference's per-frame redraw
     loop (src/app.rs:92-102)."""
     from rt.kernels.tris_kernel import render_color_tris_wave
-    from rt.config import MAT_DIELECTRIC, MAT_METAL
 
     h, w = config.height, config.width
-    # th=32 / chunk=32 / 8-bit origin-major key measured best on-chip for
-    # suzanne-scale scenes (55.6 ms/frame vs 59-69 for neighbors); LARGE
-    # scenes are pair-work-bound (tile chunk-union >> fixed costs — the
-    # r2 union analysis), so they take smaller tiles + per-bounce sorting:
-    # lucy 512² b5 measured 1.37e7 seg/s with th=16/sort_every=1 vs 1.11e7
-    # with suzanne's config (PERF.md r2 retune).
-    large = scene.m > 8192
-    th = min(16 if large else 32, _round_up(h, 8))
-    sort_every = 1 if large else 2
-    tw = min(256, _round_up(w, 128))
-    hp, wp = _round_up(h, th), _round_up(w, tw)
+    kw = wave_params(scene, config)
+    hp, wp = _round_up(h, kw["th"]), _round_up(w, kw["tw"])
 
     cam_row = pack_camera(camera)
     time_arr = jnp.asarray(times, jnp.uint32).reshape(-1, 1)
     colors = render_color_tris_wave(
         scene, cam_row, time_arr, height=h, width=w,
         height_pad=hp, width_pad=wp,
-        bounces=config.bounces,
-        normalize_defocus_dir=config.normalize_defocus_dir,
-        normalize_reflect_in=config.normalize_reflect_in,
-        # re-sort every 2 bounces for small scenes (halves sort + payload
-        # roundtrips); every bounce for large ones (fresher coherence wins
-        # when the chunk-union dominates) — PERF.md
-        sort_every=sort_every,
-        # unroll: the scan is ISSUE-bound (serialized best-t select chain) —
-        # r3 re-probe at F=64 shows monotonic gains past r2's u4: suzanne
-        # 8.40 -> 9.28e7 seg/s at u32; dragon u16 +15% (u16 == u32 there,
-        # smaller code for the 1563-chunk loop).
-        # split_big: +5% on dragon (oversized triangles out of the Morton
-        # clusters), noise elsewhere, so large scenes only.
-        split_big=large,
-        th=th, tw=tw, chunk=32, unroll=16 if large else 32,
-        has_metal=MAT_METAL in config.mat_kinds,
-        has_dielectric=MAT_DIELECTRIC in config.mat_kinds,
-        sky_from_final_dir=config.sky_from_final_dir,
-        spp=config.samples_per_frame,
-        interpret=interpret)                       # (F, 3, Hp, Wp)
+        interpret=interpret, **kw)                 # (F, 3, Hp, Wp)
     colors = jnp.transpose(colors, (0, 2, 3, 1))   # (F, Hp, Wp, 3)
     if (hp, wp) != (h, w):
         colors = colors[:, :h, :w]

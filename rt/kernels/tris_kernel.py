@@ -58,9 +58,16 @@ def _fmax(a, b):
 
 
 def _tile_rays(cam_ref, time, ti, tj, *, th: int, tw: int, height: int,
-               width: int, normalize_defocus_dir: bool):
-    """Per-tile primary-ray generation (seed, AA jitter, make_ray)."""
-    y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th
+               width: int, normalize_defocus_dir: bool, row0=0):
+    """Per-tile primary-ray generation (seed, AA jitter, make_ray).
+
+    row0: global row index of this launch's first row — raygen is purely
+    position-based (seed = (x*height + y)*time, uv from global (x, y)), so
+    a kernel covering rows [row0, row0+grid*th) of the image produces
+    BIT-IDENTICAL rays to the full-frame launch.  This is what makes the
+    image-row DP sharding of the Pallas backends exact (rt/dist/wave.py):
+    each shard renders its band with row0 = shard_index * band_height."""
+    y_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ti * th + row0
     x_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tj * tw
     x_f = x_i.astype(jnp.float32)
     y_f = y_i.astype(jnp.float32)
@@ -79,7 +86,8 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                   chunk: int, n_chunks: int, n_mats: int,
                   normalize_reflect_in: bool, has_metal: bool,
                   has_dielectric: bool, order_base=0, unroll: int = 1,
-                  unroll_tree: bool = False, track_idx: bool = False):
+                  unroll_tree: bool = False, track_idx: bool = False,
+                  track_chunk: bool = False):
     """One path-trace bounce over a tile of rays: front-to-back chunk-culled
     closest-hit scan, once-per-bounce material resolve, scatter.  Shared by
     the monolithic whole-frame kernel and the wavefront per-bounce kernel —
@@ -88,7 +96,13 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
     track_idx (recording variant only): additionally returns the winning
     triangle index in the Morton-clustered table order (-1 on miss) for the
     path-replay gradient recorder — one extra select per pair that the hot
-    render path never pays."""
+    render path never pays.
+
+    track_chunk: additionally returns the winning CHUNK id (-1 on miss) —
+    one compare+select per CHUNK (not per triangle, ~zero cost) — the
+    byproduct coherence key for the wavefront sort (key_mode="chunk"):
+    the next bounce's origin lies ON the winning chunk's surface, so the
+    id is an exact geometry-aligned spatial bin."""
     state, o, d, atten, active = carry
     inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
     izero = jnp.zeros_like(active)
@@ -213,14 +227,23 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                                      body_tree if unroll_tree else body,
                                      best)
 
+        if track_chunk:
+            core, wch = best[:-1], best[-1]
+            core_new = jax.lax.cond(jnp.any(live), do, lambda b: b, core)
+            # the chunk whose scan last improved best-t owns the hit
+            wch = jnp.where(core_new[0] < core[0], izero + ci, wch)
+            return core_new + (wch,)
         return jax.lax.cond(jnp.any(live), do, lambda b: b, best)
 
     best0 = (zero + FLT_MAX, (zero, zero, zero), zero)
     if track_idx:
         best0 += (izero - 1,)
+    if track_chunk:
+        best0 += (izero - 1,)
     best = jax.lax.fori_loop(0, n_chunks, scan_chunk, best0)
     bt, bnrm, bmid = best[:3]
     btid = best[3] if track_idx else None
+    bwch = best[-1] if track_chunk else None
 
     hit = (active > 0) & (bt != FLT_MAX)
 
@@ -257,12 +280,14 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
     atten = pm.where3(hit, pm.scale3(pm.mul3(atten, bal), 0.7), atten)
     out = (state, o, d, atten, hit.astype(jnp.int32))
     if track_idx:
-        return out + (jnp.where(hit, btid, izero - 1),)
+        out += (jnp.where(hit, btid, izero - 1),)
+    if track_chunk:
+        out += (jnp.where(hit, bwch, izero - 1),)
     return out
 
 
 def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
-            out_ref, *,
+            row0_ref, out_ref, *,
             m: int, n_chunks: int, chunk: int, n_mats: int, height: int,
             width: int,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
@@ -273,7 +298,7 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
     state, o, d0, primary_dy = _tile_rays(
         cam_ref, time_ref[0, 0], pl.program_id(0), pl.program_id(1), th=th,
         tw=tw, height=height, width=width,
-        normalize_defocus_dir=normalize_defocus_dir)
+        normalize_defocus_dir=normalize_defocus_dir, row0=row0_ref[0, 0])
 
     zero = jnp.zeros((th, tw), jnp.float32)
     one = zero + 1.0
@@ -425,8 +450,12 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       has_metal: bool = True, has_dielectric: bool = True,
                       sky_from_final_dir: bool = False, unroll: int = 1,
                       unroll_tree: bool = False, spp: int = 1,
-                      interpret: bool = False):
-    """Planar (3, Hp, Wp) color for one frame of a TriangleScene."""
+                      row0=None, interpret: bool = False):
+    """Planar (3, Hp, Wp) color for one frame of a TriangleScene.
+
+    row0: optional global row offset (traced i32 scalar) — the launch then
+    covers image rows [row0, row0 + height_pad) with bit-identical rays to
+    the same rows of a full-frame launch (image-row DP sharding)."""
     tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
     # approximate front-to-back chunk order from the camera eye (closest
     # chunk-AABB centroid first); ties/order only affect pruning, not the
@@ -444,6 +473,8 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir,
         unroll=unroll, unroll_tree=unroll_tree, spp=spp)
+    row0_arr = (jnp.zeros((1, 1), jnp.int32) if row0 is None
+                else jnp.asarray(row0, jnp.int32).reshape(1, 1))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, height_pad, width_pad),
@@ -457,11 +488,12 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
             pl.BlockSpec(memory_space=pltpu.SMEM),   # time
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # row0 (DP row offset)
         ],
         out_specs=pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tab, mats, chunks, order, cam_row, time)
+    )(tab, mats, chunks, order, cam_row, time, row0_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -491,13 +523,15 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
 
 
 def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
-                       time_ref, payf_ref, state_ref, active_ref, *rest,
+                       time_ref, row0_ref, payf_ref, state_ref, active_ref,
+                       *rest,
                        n_chunks: int, chunk: int, n_mats: int, height: int,
                        width: int, th: int, tw: int,
                        normalize_defocus_dir: bool,
                        normalize_reflect_in: bool, has_metal: bool,
                        has_dielectric: bool, unroll: int = 1,
-                       unroll_tree: bool = False, track_idx: bool = False):
+                       unroll_tree: bool = False, track_idx: bool = False,
+                       track_chunk: bool = False):
     """Raygen fused with bounce 0 (primary rays are already coherent in
     pixel order — no sort needed before the first bounce).  Outputs the ray
     payload: payf = [o(3), d(3), atten(3), primary_dy] planes.
@@ -512,7 +546,7 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
     state, o, d, primary_dy = _tile_rays(
         cam_ref, time_ref[pl.program_id(0), 0], pl.program_id(1),
         pl.program_id(2), th=th, tw=tw, height=height, width=width,
-        normalize_defocus_dir=normalize_defocus_dir)
+        normalize_defocus_dir=normalize_defocus_dir, row0=row0_ref[0, 0])
 
     zero = jnp.zeros((th, tw), jnp.float32)
     one = zero + 1.0
@@ -522,7 +556,11 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
         n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
-        unroll_tree=unroll_tree, track_idx=track_idx)
+        unroll_tree=unroll_tree, track_idx=track_idx,
+        track_chunk=track_chunk)
+    if track_chunk:
+        *out, bwch = out
+        rest[-1][...] = bwch
     if track_idx:
         state, o, d, atten, active, btid = out
         rest[0][...] = btid
@@ -538,7 +576,8 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
     active_ref[...] = active
 
 
-def _wave_raygen_kernel(cam_ref, time_ref, od_ref, pdy_ref, state_ref, *,
+def _wave_raygen_kernel(cam_ref, time_ref, row0_ref, od_ref, pdy_ref,
+                        state_ref, *,
                         height: int, width: int, th: int, tw: int,
                         normalize_defocus_dir: bool):
     """Raygen WITHOUT bounce 0 — the spp>1 wavefront path re-traces the same
@@ -549,7 +588,7 @@ def _wave_raygen_kernel(cam_ref, time_ref, od_ref, pdy_ref, state_ref, *,
     state, o, d, primary_dy = _tile_rays(
         cam_ref, time_ref[pl.program_id(0), 0], pl.program_id(1),
         pl.program_id(2), th=th, tw=tw, height=height, width=width,
-        normalize_defocus_dir=normalize_defocus_dir)
+        normalize_defocus_dir=normalize_defocus_dir, row0=row0_ref[0, 0])
     for c in range(3):
         od_ref[c] = o[c]
         od_ref[3 + c] = d[c]
@@ -563,7 +602,8 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
                         n_mats: int, th: int, tw: int, n_bounces: int,
                         normalize_reflect_in: bool, has_metal: bool,
                         has_dielectric: bool, unroll: int = 1,
-                        unroll_tree: bool = False, track_idx: bool = False):
+                        unroll_tree: bool = False, track_idx: bool = False,
+                        track_chunk: bool = False):
     """n_bounces bounces over a tile of (sorted) rays — fusing 2 bounces
     per launch halves the sort + payload-roundtrip count at slightly
     staler coherence for the second bounce.
@@ -571,7 +611,11 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
     track_idx (recording variant): one extra i32 output plane per fused
     bounce holding the winning Morton-table triangle index (-1 on miss /
     dead lanes) — the recorder fuses one bounce per launch, so the plane
-    count stays 1 there."""
+    count stays 1 there.
+
+    track_chunk (key_mode="chunk" render path): one extra i32 output plane
+    holding the LAST fused bounce's winning chunk id (-1 miss/dead) — the
+    next sort's coherence key."""
     zero = jnp.zeros((th, tw), jnp.float32)
     carry = (state_ref[...],
              (payf_ref[0], payf_ref[1], payf_ref[2]),
@@ -585,6 +629,7 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
         unroll_tree=unroll_tree, track_idx=track_idx,
+        track_chunk=track_chunk,
         order_base=pl.program_id(0) * n_chunks)
 
     if track_idx:
@@ -601,6 +646,19 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
                                        carry)
             rest[0][b] = btid
         state, o, d, atten, active = carry
+    elif track_chunk:
+        neg1 = jnp.zeros((th, tw), jnp.int32) - 1
+
+        def bounce(_, c6):
+            def traced(c6):
+                return trace1(c6[:5])
+
+            return jax.lax.cond(jnp.any(c6[4] > 0), traced, lambda c: c, c6)
+
+        *carry, bwch = jax.lax.fori_loop(0, n_bounces, bounce,
+                                         carry + (neg1,))
+        state, o, d, atten, active = carry
+        rest[-1][...] = bwch
     else:
         def bounce(_, carry):
             # whole-tile skip: sorted dead rays cluster into all-dead tiles
@@ -616,6 +674,26 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
         opayf_ref[6 + c] = atten[c]
     ostate_ref[...] = state
     oactive_ref[...] = active
+
+
+def _seg_sort(operands, seg: int):
+    """Variadic ``lax.sort`` over ``seg`` independent equal segments of the
+    stream (reshape to (seg, n/seg), sort along the last axis, flatten).
+
+    XLA's TPU sort is SUPERLINEAR in key count (measured 0.8 / 5.6 / 41 ms
+    per 14-operand sort at 262K / 1M / 4.2M keys — PERF.md), which caps
+    stream size and killed frame-batched streams in r2.  Segment-local
+    sorting makes the cost ~linear again, and it is sound for BOTH sort
+    uses here because segments never exchange rays: coherence only needs
+    rays grouped within a tile (tiles are 8K rays ≪ a segment), and the
+    pixel-order restore keyed on ``pix`` stays exact because each segment
+    always holds precisely its original contiguous pix block (sorting a
+    segment ascending = global ascending).
+    """
+    if seg == 1:
+        return jax.lax.sort(operands, num_keys=1)
+    shaped = tuple(x.reshape(seg, -1) for x in operands)
+    return tuple(o.reshape(-1) for o in jax.lax.sort(shaped, num_keys=1))
 
 
 def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
@@ -656,7 +734,8 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
     "unroll_tree", "split_big", "interpret", "sort", "key_bits",
-    "key_dir_bits", "key_dmajor", "sort_every", "spp"))
+    "key_dir_bits", "key_dmajor", "sort_every", "spp", "sort_segments",
+    "key_mode"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -669,8 +748,16 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            interpret: bool = False, sort: bool = True,
                            key_bits: int = 8, key_dir_bits: int = 1,
                            key_dmajor: bool = False,
-                           sort_every: int = 1, spp: int = 1):
+                           sort_every: int = 1, spp: int = 1,
+                           sort_segments: int = 1, key_mode: str = "morton",
+                           row0=None):
     """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
+
+    row0: optional global row offset (traced i32 scalar) for image-row DP
+    sharding — the launch covers rows [row0, row0 + height_pad) of the
+    global frame with bit-identical rays (rt/dist/wave.py wraps this in
+    shard_map; the whole stream pipeline — sorts included — then stays
+    shard-local, preserving the zero-per-frame-collectives DP design).
 
     ``time`` is (F, 1) u32, one time uniform per frame; all F frames' rays
     trace as ONE sorted stream (per-frame results are bit-identical to F
@@ -680,19 +767,36 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     re-traced spp times with the per-pixel RNG state THREADED across samples
     (scattered back to pixel order between samples), and the sample sum is
     averaged — bit-equal to the oracle renderer's sample loop.  Each sample
-    runs the full sorted-stream bounce pipeline."""
+    runs the full sorted-stream bounce pipeline.
+
+    sort_segments: split every stream sort (coherence + restore) into this
+    many independent equal segments (see _seg_sort) — the answer to XLA's
+    superlinear sort cost on large streams (720p / frame-batched).  Must
+    divide the stream into tile-aligned segments.  Per-ray results change
+    only through tile regrouping (the same measure-zero tie caveat as
+    sorting itself).
+
+    key_mode: the coherence key.  "morton" (default) = origin Morton code +
+    direction octant (_ray_sort_key); "chunk" = the previous bounce's
+    WINNING CHUNK id (tracked in-kernel at one select per chunk — the
+    zero-cost byproduct key from docs/DESIGN_binning.md); "chunk_oct" =
+    chunk id with the direction octant in the low 3 bits."""
     tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk,
                                                     split_big=split_big)
+    row0_arr = (jnp.zeros((1, 1), jnp.int32) if row0 is None
+                else jnp.asarray(row0, jnp.int32).reshape(1, 1))
     eye = cam_row[0, 0:3]
     centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
     dist = jnp.sum((centroid - eye) ** 2, axis=1)
     order = jnp.argsort(dist).astype(jnp.int32)[:, None]   # (n_chunks, 1)
     n_mats = mats.shape[0]
 
+    track_chunk = key_mode != "morton"
     common = dict(n_chunks=n_chunks, chunk=chunk, n_mats=n_mats,
                   normalize_reflect_in=normalize_reflect_in,
                   has_metal=has_metal, has_dielectric=has_dielectric,
-                  unroll=unroll, unroll_tree=unroll_tree)
+                  unroll=unroll, unroll_tree=unroll_tree,
+                  track_chunk=track_chunk)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -701,6 +805,9 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     n = n_frames * height_pad * width_pad
     rows = n // tw
     n_tiles = rows // th
+    seg = sort_segments
+    assert n_tiles % seg == 0, \
+        f"sort_segments={seg} must divide the {n_tiles}-tile stream"
 
     # scene bounds for the sort key (from the chunk AABBs)
     lo = jnp.min(chunks[:, 0:3], axis=0)
@@ -716,11 +823,16 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     def bounce_call(nb, *operands):
         kernel = functools.partial(_wave_bounce_kernel, th=th, tw=tw,
                                    n_bounces=nb, **common)
+        out_shape = (jax.ShapeDtypeStruct((9, rows, tw), jnp.float32),
+                     jax.ShapeDtypeStruct((rows, tw), jnp.uint32),
+                     jax.ShapeDtypeStruct((rows, tw), jnp.int32))
+        out_specs = ray_specs
+        if track_chunk:
+            out_shape += (jax.ShapeDtypeStruct((rows, tw), jnp.int32),)
+            out_specs += (ray_specs[2],)
         return pl.pallas_call(
             kernel,
-            out_shape=(jax.ShapeDtypeStruct((9, rows, tw), jnp.float32),
-                       jax.ShapeDtypeStruct((rows, tw), jnp.uint32),
-                       jax.ShapeDtypeStruct((rows, tw), jnp.int32)),
+            out_shape=out_shape,
             grid=(rows // th,),
             in_specs=[vmem, smem, vmem,
                       # per-TILE chunk visit order: flattened
@@ -728,13 +840,25 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                       # reads its own segment at program_id * n_chunks
                       vmem,
                       *ray_specs],
-            out_specs=ray_specs,
+            out_specs=out_specs,
             # donate the ray payload: inputs 4/5/6 (pay, state, active)
             # update in place as outputs 0/1/2
             input_output_aliases={4: 0, 5: 1, 6: 2},
             interpret=interpret)(*operands)
 
-    def stream_bounces(pay, state, active, pix, pdy, b_start):
+    def stream_key(pay, active, wch):
+        if key_mode == "morton":
+            return _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
+                                 bits=key_bits, dir_bits=key_dir_bits,
+                                 dmajor=key_dmajor)
+        key = wch.astype(jnp.uint32) << 3
+        if key_mode == "chunk_oct":
+            key = key | (((pay[3] > 0).astype(jnp.uint32) << 2)
+                         | ((pay[4] > 0).astype(jnp.uint32) << 1)
+                         | (pay[5] > 0).astype(jnp.uint32))
+        return jnp.where(active > 0, key, jnp.uint32(0xFFFFFFFF))
+
+    def stream_bounces(pay, state, active, pix, pdy, wch, b_start):
         """Bounces b_start..bounces-1 over the ray stream, re-sorting every
         ``sort_every`` launches (never before b_start itself when it's 0 —
         primary rays are already pixel-coherent)."""
@@ -744,13 +868,11 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                 # ONE variadic sort moves the whole payload with the key —
                 # measured ~10x cheaper than argsort + per-array gathers
                 # (XLA TPU gathers at element granularity are the bottleneck)
-                key = _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
-                                    bits=key_bits, dir_bits=key_dir_bits,
-                                    dmajor=key_dmajor)
-                ops = jax.lax.sort(
+                key = stream_key(pay, active, wch)
+                ops = _seg_sort(
                     (key, *(pay[i] for i in range(9)), state, active, pix,
                      pdy),
-                    num_keys=1)
+                    seg)
                 pay = jnp.stack(ops[1:10])
                 state, active, pix, pdy = ops[10:14]
             # per-tile front-to-back chunk order from each tile's mean ray
@@ -763,12 +885,14 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                             axis=2)                      # (n_tiles, n_chunks)
             tile_order = jnp.argsort(tdist, axis=1).astype(
                 jnp.int32).reshape(-1, 1)            # (n_tiles*n_chunks, 1)
-            payp, state2, active2 = bounce_call(
+            outs = bounce_call(
                 nb, tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
                 state.reshape(rows, tw), active.reshape(rows, tw))
-            pay = payp.reshape(9, n)
-            state = state2.reshape(n)
-            active = active2.reshape(n)
+            pay = outs[0].reshape(9, n)
+            state = outs[1].reshape(n)
+            active = outs[2].reshape(n)
+            if track_chunk:
+                wch = outs[3].reshape(n)
         return pay, state, active, pix, pdy
 
     def stream_color(pay, pix, pdy):
@@ -783,35 +907,40 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         # (unique keys — stability is moot) at ~half the cost: TPU element
         # scatters measured 54 ms vs 27 ms for a same-payload sort at 942K
         # keys, 7.0 vs 4.3 ms at 262K (tools/exp_scatter_sort.py).
-        ops = jax.lax.sort((pix, *col), num_keys=1)
+        # Segment-local restore is exact: each segment holds its own
+        # contiguous pix block (see _seg_sort).
+        ops = _seg_sort((pix, *col), seg)
         return jnp.stack(ops[1:4])                       # (3, n)
 
     if spp == 1:
         first = functools.partial(
             _wave_first_kernel, height=height, width=width, th=th, tw=tw,
             normalize_defocus_dir=normalize_defocus_dir, **common)
-        payf, state, active = pl.pallas_call(
+        plane = lambda dt: jax.ShapeDtypeStruct(
+            (n_frames * height_pad, width_pad), dt)
+        plane_spec = pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
+                                  memory_space=pltpu.VMEM)
+        out_shape = (jax.ShapeDtypeStruct(
+                         (10, n_frames * height_pad, width_pad),
+                         jnp.float32),
+                     plane(jnp.uint32), plane(jnp.int32))
+        out_specs = (pl.BlockSpec((10, th, tw),
+                                  lambda f, i, j: (0, f * nh + i, j),
+                                  memory_space=pltpu.VMEM),
+                     plane_spec, plane_spec)
+        if track_chunk:
+            out_shape += (plane(jnp.int32),)
+            out_specs += (plane_spec,)
+        outs = pl.pallas_call(
             first,
-            out_shape=(jax.ShapeDtypeStruct(
-                           (10, n_frames * height_pad, width_pad),
-                           jnp.float32),
-                       jax.ShapeDtypeStruct(
-                           (n_frames * height_pad, width_pad), jnp.uint32),
-                       jax.ShapeDtypeStruct(
-                           (n_frames * height_pad, width_pad), jnp.int32)),
+            out_shape=out_shape,
             grid=(n_frames, nh, width_pad // tw),
-            in_specs=[vmem, smem, vmem, vmem, smem, smem],
-            out_specs=(pl.BlockSpec((10, th, tw),
-                                    lambda f, i, j: (0, f * nh + i, j),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((th, tw),
-                                    lambda f, i, j: (f * nh + i, j),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((th, tw),
-                                    lambda f, i, j: (f * nh + i, j),
-                                    memory_space=pltpu.VMEM)),
+            in_specs=[vmem, smem, vmem, vmem, smem, smem, smem],
+            out_specs=out_specs,
             interpret=interpret,
-        )(tab, mats, chunks, order, cam_row, time)
+        )(tab, mats, chunks, order, cam_row, time, row0_arr)
+        payf, state, active = outs[0], outs[1], outs[2]
+        wch = outs[3].reshape(n) if track_chunk else None
 
         payf = payf.reshape(10, n)
         pay, pdy = payf[0:9], payf[9]
@@ -819,7 +948,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         active = active.reshape(n)
         pix = jnp.arange(n, dtype=jnp.int32)
         pay, state, active, pix, pdy = stream_bounces(pay, state, active,
-                                                      pix, pdy, 1)
+                                                      pix, pdy, wch, 1)
         img = stream_color(pay, pix, pdy)
         img = img.reshape(3, n_frames, height_pad, width_pad)
         return jnp.moveaxis(img, 1, 0)                   # (F, 3, Hp, Wp)
@@ -838,7 +967,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                    jax.ShapeDtypeStruct((n_frames * height_pad, width_pad),
                                         jnp.uint32)),
         grid=(n_frames, nh, width_pad // tw),
-        in_specs=[smem, smem],
+        in_specs=[smem, smem, smem],
         out_specs=(pl.BlockSpec((6, th, tw),
                                 lambda f, i, j: (0, f * nh + i, j),
                                 memory_space=pltpu.VMEM),
@@ -847,7 +976,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                    pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(cam_row, time)
+    )(cam_row, time, row0_arr)
     od = od.reshape(6, n)
     pdy0 = pdy0.reshape(n)
     state0 = state0.reshape(n)
@@ -859,7 +988,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         pay = jnp.concatenate([od, ones3])
         active = jnp.ones((n,), jnp.int32)
         pay, state, active, pix, pdy = stream_bounces(pay, state_px, active,
-                                                      pix0, pdy0, 0)
+                                                      pix0, pdy0, None, 0)
         # restore ATTEN to pixel order first and multiply by the sky
         # afterwards: keeps the trailing multiply-add adjacent so XLA
         # contracts it into the same fma as the monolithic kernel's in-loop
@@ -872,7 +1001,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         planes = [pay[6], pay[7], pay[8]]
         if sky_from_final_dir:
             planes.append(pay[4])
-        ops = jax.lax.sort((pix, *planes, state), num_keys=1)
+        ops = _seg_sort((pix, *planes, state), seg)
         px = ops[1:1 + len(planes)]
         col = jnp.stack(tc.sky_times_atten(
             px[3] if sky_from_final_dir else pdy0, (px[0], px[1], px[2])))
@@ -949,7 +1078,7 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
                    jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32),
                    jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32)),
         grid=(1, nh, width_pad // tw),
-        in_specs=[vmem, smem, vmem, vmem, smem, smem],
+        in_specs=[vmem, smem, vmem, vmem, smem, smem, smem],
         out_specs=(pl.BlockSpec((10, th, tw),
                                 lambda f, i, j: (0, f * nh + i, j),
                                 memory_space=pltpu.VMEM),
@@ -960,7 +1089,8 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
                    pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(tab, mats, chunks, order, cam_row, time)
+    )(tab, mats, chunks, order, cam_row, time,
+      jnp.zeros((1, 1), jnp.int32))
 
     n = height_pad * width_pad
     rows = n // tw
