@@ -7,6 +7,8 @@ from rt.grad.fd import finite_difference_check
 from rt.grad.train import TrainStep, fit, fit_replay, make_train_step
 from rt.grad.soft import (make_soft_geom_loss, make_soft_loss,
                           recover_camera, recover_geometry, soft_render)
+from rt.grad.soft_tris import (downsample, make_soft_tris_loss,
+                               recover_camera_tris, soft_render_tris)
 from rt.grad.replay import (record_hits_oracle, record_hits_pallas,
                             replay_color, replay_loss_fn)
 
@@ -18,6 +20,8 @@ __all__ = [
     "fit_replay",
     "soft_render", "make_soft_loss", "make_soft_geom_loss",
     "recover_camera", "recover_geometry",
+    "soft_render_tris", "make_soft_tris_loss", "recover_camera_tris",
+    "downsample",
     "record_hits_oracle", "record_hits_pallas", "replay_color",
     "replay_loss_fn",
 ]
