@@ -7,8 +7,9 @@ from rt.grad.fd import finite_difference_check
 from rt.grad.train import TrainStep, fit, fit_replay, make_train_step
 from rt.grad.soft import (make_soft_geom_loss, make_soft_loss,
                           recover_camera, recover_geometry, soft_render)
-from rt.grad.soft_tris import (downsample, make_soft_tris_loss,
-                               recover_camera_tris, soft_render_tris)
+from rt.grad.soft_tris import (OrbitParams, downsample, make_soft_tris_loss,
+                               recover_camera_tris, recover_orbit_tris,
+                               soft_render_tris)
 from rt.grad.replay import (record_hits_oracle, record_hits_pallas,
                             replay_color, replay_loss_fn)
 
@@ -21,7 +22,7 @@ __all__ = [
     "soft_render", "make_soft_loss", "make_soft_geom_loss",
     "recover_camera", "recover_geometry",
     "soft_render_tris", "make_soft_tris_loss", "recover_camera_tris",
-    "downsample",
+    "recover_orbit_tris", "OrbitParams", "downsample",
     "record_hits_oracle", "record_hits_pallas", "replay_color",
     "replay_loss_fn",
 ]

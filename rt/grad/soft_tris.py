@@ -12,7 +12,14 @@ Per ray (soft rasterization in ray space, one Möller–Trumbore per
 (ray, triangle) pair — shader_tris.wgsl:161-202's t/u/v reused as the
 smooth quantities):
 
-  margin_i = min(u_i, v_i, 1-u_i-v_i)            barycentric inside-ness
+  margin_i = min((1-u-v)·h_A, u·h_B, v·h_C) / t   ANGULAR edge distance
+             (h_X = altitude from vertex X, so w_X·h_X is the WORLD
+             distance to the opposite edge; dividing by the hit depth
+             makes the softness screen-space — tau is in radians, the
+             same edge width for a 1000x-bigger floor quad as for a
+             Suzanne ear.  Barycentric margins measured a broken loss:
+             big triangles' soft bands span half the image and their
+             bias gradient overwhelms the pose signal.)
   cov_i    = sigmoid(margin_i / tau) * sigmoid(t_i / tau_depth)
   w_i      = cov_i * exp(-(t_i - shift) / tau_depth)   occlusion softmin
   color    = total_cov * (Σ w_i albedo_i / Σ w_i) * 0.7 * sky(d)
@@ -32,6 +39,7 @@ Differentiable everywhere w.r.t. camera pose/fov AND material albedos
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -43,10 +51,13 @@ from rt.core.triangle import TriangleScene
 
 
 def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
-                     time, tau: float = 0.05, tau_depth: float = 0.5,
+                     time, tau: float = 0.02, tau_depth: float = 0.5,
                      chunk: int = 128):
     """Smooth (H, W, 3) render of a triangle scene — differentiable w.r.t.
     camera and material albedos, everywhere.
+
+    tau: silhouette softness in RADIANS of viewing angle (screen-space);
+    ~0.02 coarse, ~0.003 is a couple of pixels at 480-wide / fov 0.9.
 
     chunk: triangles per scan step — bounds the live (chunk, H, W) planes
     (memory), with the sums streamed across steps.
@@ -72,6 +83,13 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
     t_num = jnp.sum(e2 * q, axis=-1)
     alb = scene.mat_albedo[
         jnp.clip(scene.mat_id, 0, scene.mat_albedo.shape[0] - 1)]
+    # altitudes: w_A*h_A (etc.) is the world distance from the hit point to
+    # the edge opposite vertex A — 2*area / opposite-edge length
+    area2 = jnp.sqrt(jnp.sum(n_raw * n_raw, axis=-1))      # 2*area
+    elen = lambda e: jnp.sqrt(jnp.sum(e * e, axis=-1) + 1e-20)
+    alt = jnp.stack([area2 / elen(e2 - e1),                # h_A (|C-B|)
+                     area2 / elen(e2),                     # h_B (|C-A|)
+                     area2 / elen(e1)], axis=-1)           # h_C (|B-A|)
 
     m = a.shape[0]
     pad = (-m) % chunk
@@ -83,9 +101,10 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
         q = jnp.concatenate([q, z3])
         t_num = jnp.concatenate([t_num, jnp.zeros((pad,), jnp.float32)])
         alb = jnp.concatenate([alb, z3])
+        alt = jnp.concatenate([alt, z3])
     n_chunks = (m + pad) // chunk
     xs = tuple(v.reshape(n_chunks, chunk, -1)
-               for v in (n_raw, se2, q, t_num[:, None], alb))
+               for v in (n_raw, se2, q, t_num[:, None], alb, alt))
 
     # occlusion weights are exp(-(t - shift)/tau_depth); the constant shift
     # cancels in the normalization and keeps magnitudes ~e^{+-few} around
@@ -96,14 +115,20 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
 
     def body(carry, x):
         wsum, csum, covsum = carry
-        n_c, se2_c, q_c, tn_c, alb_c = x
+        n_c, se2_c, q_c, tn_c, alb_c, alt_c = x
         det = -jnp.einsum("hwk,ck->chw", d, n_c)
         valid = jnp.abs(det) > 1e-12
         inv = 1.0 / jnp.where(valid, det, 1.0)
         u = -jnp.einsum("hwk,ck->chw", d, se2_c) * inv
         v = jnp.einsum("hwk,ck->chw", d, q_c) * inv
         t = tn_c[:, 0, None, None] * inv
-        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        # angular edge distance: min over the three edges of (barycentric
+        # weight x altitude) / depth — scale-free screen-space margin
+        margin = jnp.minimum(
+            jnp.minimum(u * alt_c[:, 1, None, None],
+                        v * alt_c[:, 2, None, None]),
+            (1.0 - u - v) * alt_c[:, 0, None, None]
+        ) / jnp.maximum(t, 1e-2)
         cov = (jax.nn.sigmoid(margin * inv_tau)
                * jax.nn.sigmoid(t * inv_td)
                * valid.astype(jnp.float32))
@@ -138,15 +163,33 @@ def downsample(img, factor: int):
                        img.shape[-1]).mean(axis=(1, 3))
 
 
+def _image_grads(img):
+    """Horizontal/vertical finite differences of an (H, W, 3) image."""
+    return img[:, 1:] - img[:, :-1], img[1:] - img[:-1]
+
+
 def make_soft_tris_loss(scene: TriangleScene, config: RenderConfig, target,
-                        time=1000, tau: float = 0.05, tau_depth: float = 0.5,
-                        chunk: int = 128):
+                        time=1000, tau: float = 0.02, tau_depth: float = 0.5,
+                        chunk: int = 128, loss_mode: str = "mse"):
     """loss(camera_params, mat_albedo|None) -> scalar vs an (H, W, 3) target
     (typically the exact render at the true pose, downsampled to the soft
-    resolution)."""
+    resolution).
+
+    loss_mode:
+      "mse"  — raw image MSE (fine for open scenes);
+      "grad" — MSE of image FINITE DIFFERENCES.  In enclosed scenes
+               (Suzanne sits inside a lambertian room, scene_tris.rs:119+)
+               the surrogate's smooth color bias against the multi-bounce
+               target dominates a raw MSE and drags pose AWAY from truth
+               (measured: loss down 1.8x while pose error grew 9x); edges
+               are where the surrogate is faithful, and spatial gradients
+               suppress the smooth bias while keeping silhouette
+               alignment.
+      "mse+grad" — sum of both."""
     from rt.grad.params import look_at_jnp
 
     target = jnp.asarray(target, jnp.float32)
+    tdx, tdy = _image_grads(target)
     t = jnp.uint32(time)
 
     @jax.jit
@@ -155,16 +198,101 @@ def make_soft_tris_loss(scene: TriangleScene, config: RenderConfig, target,
             mat_albedo=mat_albedo)
         img = soft_render_tris(sc, look_at_jnp(cp), config, t, tau=tau,
                                tau_depth=tau_depth, chunk=chunk)
-        diff = img - target
-        return jnp.mean(diff * diff)
+        out = 0.0
+        if loss_mode in ("mse", "mse+grad"):
+            diff = img - target
+            out = out + jnp.mean(diff * diff)
+        if loss_mode in ("grad", "mse+grad"):
+            dx, dy = _image_grads(img)
+            out = out + jnp.mean((dx - tdx) ** 2) + jnp.mean((dy - tdy) ** 2)
+        return out
 
     return loss
+
+
+class OrbitParams(NamedTuple):
+    """The reference's OrbitCamera dof (src/camera_controller.rs:5-29):
+    eye = target + radius * (sin(phi)cos(theta), cos(phi), sin(phi)sin(theta))
+    (update_position, :59-70).  Optimizing pose in THESE coordinates matches
+    the parameters a user of the reference actually controls — and makes the
+    radius/fov dolly-zoom gauge direction an explicit, freezable axis."""
+
+    radius: jnp.ndarray   # () f32
+    theta: jnp.ndarray    # () f32
+    phi: jnp.ndarray      # () f32
+    fov: jnp.ndarray      # () f32
+
+    @staticmethod
+    def create(radius, theta, phi, fov) -> "OrbitParams":
+        f = lambda v: jnp.asarray(v, jnp.float32)
+        return OrbitParams(f(radius), f(theta), f(phi), f(fov))
+
+    @staticmethod
+    def from_eye(eye, target, fov) -> "OrbitParams":
+        import numpy as np
+        v = np.asarray(eye, np.float64) - np.asarray(target, np.float64)
+        r = float(np.linalg.norm(v))
+        phi = float(np.arccos(np.clip(v[1] / r, -1.0, 1.0)))
+        theta = float(np.arctan2(v[2], v[0]))
+        return OrbitParams.create(r, theta, phi, fov)
+
+    def to_camera_params(self, look_target, focal_length, focal_blur):
+        from rt.grad.params import CameraParams
+        t = jnp.asarray(look_target, jnp.float32)
+        sp, cp = jnp.sin(self.phi), jnp.cos(self.phi)
+        st, ct = jnp.sin(self.theta), jnp.cos(self.theta)
+        eye = t + self.radius * jnp.stack([sp * ct, cp, sp * st])
+        return CameraParams(eye, t, jnp.asarray(focal_length, jnp.float32),
+                            jnp.asarray(focal_blur, jnp.float32), self.fov)
+
+
+def recover_orbit_tris(scene: TriangleScene, config: RenderConfig, target,
+                       init_orbit: OrbitParams, look_target, *,
+                       focal_length, focal_blur=0.0, steps: int = 160,
+                       learning_rate: float = 1e-2,
+                       taus=(0.06, 0.02, 0.008, 0.003), time=1000,
+                       tau_depth: float = 0.5,
+                       optimize_fields=("theta", "phi", "fov"),
+                       chunk: int = 128, loss_mode: str = "mse",
+                       log_every: int = 0):
+    """Annealed pose recovery in ORBIT coordinates (the reference camera's
+    own dof).  Returns (OrbitParams, losses).
+
+    Freezing ``radius`` (the default field set) pins the dolly-zoom gauge
+    direction — radius-vs-fov is the classic near-degenerate pair; include
+    "radius" in optimize_fields to recover all four axes."""
+    import optax
+
+    fields = set(optimize_fields)
+    mask = OrbitParams(**{f: (f in fields) for f in OrbitParams._fields})
+
+    op = init_orbit
+    losses = []
+    for tau in taus:
+        loss0 = make_soft_tris_loss(scene, config, target, time=time,
+                                    tau=tau, tau_depth=tau_depth,
+                                    chunk=chunk, loss_mode=loss_mode)
+        loss = jax.jit(lambda o: loss0(
+            o.to_camera_params(look_target, focal_length, focal_blur)))
+        opt = optax.adam(learning_rate)
+        st = opt.init(op)
+        grad = jax.jit(jax.value_and_grad(loss))
+        for i in range(steps // len(taus)):
+            l, g = grad(op)
+            g = jax.tree_util.tree_map(
+                lambda gi, mi: gi if mi else jnp.zeros_like(gi), g, mask)
+            upd, st = opt.update(g, st, op)
+            op = optax.apply_updates(op, upd)
+            losses.append(float(l))
+            if log_every and (i + 1) % log_every == 0:
+                print(f"  tau={tau} step {i+1}: loss {losses[-1]:.3e}")
+    return op, losses
 
 
 def recover_camera_tris(scene: TriangleScene, config: RenderConfig, target,
                         init_params, *, steps: int = 150,
                         learning_rate: float = 2e-2,
-                        taus=(0.15, 0.05, 0.02), time=1000,
+                        taus=(0.06, 0.02, 0.008), time=1000,
                         tau_depth: float = 0.5,
                         optimize_fields=("eye", "fov"),
                         optimize_albedo: bool = False, chunk: int = 128,

@@ -161,12 +161,19 @@ def wave_params(scene, config: RenderConfig) -> dict:
       smaller code for the 1563-chunk loop).
     - split_big: +5% on dragon (oversized triangles out of the Morton
       clusters), noise elsewhere, so large scenes only.
+    - key_mode: the winning-chunk + direction-octant coherence key measured
+      +4.5%/+4.8% on suzanne 512/720p (r4 exp_r4_knobs: 19.95 -> 19.10
+      ms/f) but -1.5/-5% on dragon/lucy (their per-bounce re-sort already
+      keeps unions tight) — so small scenes only.  Chunk id WITHOUT the
+      octant is a measured dead end (-37% — direction info is what the
+      key adds over origin locality).
     """
     from rt.config import MAT_DIELECTRIC, MAT_METAL
 
     h, w = config.height, config.width
     large = scene.m > 8192
     return dict(
+        key_mode="morton" if large else "chunk_oct",
         bounces=config.bounces,
         normalize_defocus_dir=config.normalize_defocus_dir,
         normalize_reflect_in=config.normalize_reflect_in,

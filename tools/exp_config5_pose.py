@@ -3,22 +3,22 @@ Suzanne at 1920x1080.
 
 Pipeline (the production inverse-rendering recipe):
   1. target  = exact Pallas render at the TRUE pose (unknown to the solver);
-  2. perturb = orbit the eye by --yaw/--pitch degrees around the look-at
-     target (the reference's OrbitCamera dof, src/camera_controller.rs:59-70),
-     shift fov by --dfov rad, and corrupt the Suzanne material albedo;
-  3. soft stage: annealed pose (+ albedo) recovery on the triangle
-     soft-visibility surrogate (rt/grad/soft_tris.py) at --soft-scale
-     downsampled resolution;
+  2. perturb = orbit-camera increments (the reference's own camera dof,
+     src/camera_controller.rs:59-70): --dtheta/--dphi degrees, --dfov rad
+     (optionally --dradius), plus a corrupted Suzanne material albedo;
+  3. soft stage: annealed pose recovery in ORBIT coordinates on the
+     triangle soft-visibility surrogate (rt/grad/soft_tris.py) at
+     --soft-scale downsampled resolution;
   4. polish stage: rt.grad.train.fit_replay albedo recovery at FULL
      1920x1080 with the recovered pose (path-replay backprop — pose stays
      fixed; replay pose recovery is a documented negative result, PERF.md).
 
-Prints pose errors (eye angle deg, fov rad) and albedo error before/after —
-the config-5 acceptance numbers for PERF.md.
+Prints orbit-coordinate pose errors (theta/phi deg, fov rad, eye angle) and
+albedo error before/after — the config-5 acceptance numbers for PERF.md.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/exp_config5_pose.py
-       [--size 1920x1080] [--soft-scale 4] [--yaw 2.0] [--pitch 1.0]
-       [--dfov 0.02] [--soft-steps 240] [--polish-steps 24] [--spp 4]
+       [--size 1920x1080] [--soft-scale 4] [--dtheta 2.0] [--dphi 1.0]
+       [--dfov 0.02] [--dradius 0] [--soft-steps 240] [--polish-steps 24]
 """
 from __future__ import annotations
 
@@ -28,23 +28,6 @@ import sys
 import time as time_mod
 
 import numpy as np
-
-
-def orbit_perturb(eye, target, yaw_deg, pitch_deg):
-    """Rotate eye about the look-at target: yaw about +Y, then pitch about
-    the local right axis — the OrbitCamera's (theta, phi) increments."""
-    eye = np.asarray(eye, np.float64)
-    target = np.asarray(target, np.float64)
-    v = eye - target
-    cy, sy = np.cos(np.deg2rad(yaw_deg)), np.sin(np.deg2rad(yaw_deg))
-    v = np.array([cy * v[0] + sy * v[2], v[1], -sy * v[0] + cy * v[2]])
-    right = np.cross(v / np.linalg.norm(v), [0.0, 1.0, 0.0])
-    right /= np.linalg.norm(right)
-    cp, sp = np.cos(np.deg2rad(pitch_deg)), np.sin(np.deg2rad(pitch_deg))
-    # Rodrigues about `right`
-    v = (v * cp + np.cross(right, v) * sp
-         + right * np.dot(right, v) * (1 - cp))
-    return (target + v).astype(np.float32)
 
 
 def eye_angle_deg(eye_a, eye_b, target):
@@ -58,26 +41,25 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="1920x1080")
     p.add_argument("--soft-scale", type=int, default=4)
-    p.add_argument("--yaw", type=float, default=2.0)
-    p.add_argument("--pitch", type=float, default=1.0)
-    p.add_argument("--dfov", type=float, default=0.02)
+    p.add_argument("--dtheta", type=float, default=2.0, help="degrees")
+    p.add_argument("--dphi", type=float, default=1.0, help="degrees")
+    p.add_argument("--dfov", type=float, default=0.02, help="radians")
+    p.add_argument("--dradius", type=float, default=0.0,
+                   help="radius perturbation (scene units); nonzero adds "
+                        "'radius' to the optimized fields")
     p.add_argument("--soft-steps", type=int, default=240)
     p.add_argument("--polish-steps", type=int, default=24)
     p.add_argument("--spp", type=int, default=4)
-    p.add_argument("--lr", type=float, default=8e-3)
+    p.add_argument("--lr", type=float, default=6e-3)
     p.add_argument("--taus", default="0.1,0.04,0.015,0.006")
-    p.add_argument("--joint-albedo", action="store_true",
-                   help="also optimize albedo in the soft stage (measured: "
-                        "the soft color model biases albedo, so default is "
-                        "pose-only soft + albedo in the replay polish)")
     p.add_argument("--backend", default="auto")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from rt.grad import (CameraParams, look_at_jnp, recover_camera_tris)
-    from rt.grad.soft_tris import downsample
+    from rt.grad import look_at_jnp
+    from rt.grad.soft_tris import OrbitParams, downsample, recover_orbit_tris
     from rt.grad.train import fit_replay
     from rt.scene import scenes
 
@@ -92,13 +74,12 @@ def main(argv=None):
     cfg = dataclasses.replace(sd.config, backend=backend,
                               samples_per_frame=args.spp)
 
-    # true pose: the scene's own camera inputs (scene_tris.rs:146-152)
+    # true pose in orbit coordinates (scene_tris.rs:146-152 camera inputs)
     look_target = np.array([0.0, 0.0, -4.5], np.float32)
     true_eye = np.asarray(sd.camera.eye[:3], np.float32)
-    true_cp = CameraParams.create(true_eye, look_target,
-                                  float(sd.camera.focal_length),
-                                  float(sd.camera.focal_blur),
-                                  float(sd.camera.fov))
+    fl, blur = float(sd.camera.focal_length), float(sd.camera.focal_blur)
+    true_op = OrbitParams.from_eye(true_eye, look_target,
+                                   float(sd.camera.fov))
 
     # ---- 1. exact target at the true pose ------------------------------
     if backend == "pallas":
@@ -110,66 +91,80 @@ def main(argv=None):
     target = jnp.asarray(np.asarray(target))
     print(f"target render: {time_mod.perf_counter()-t0:.1f}s", flush=True)
 
-    # ---- 2. perturb pose + albedo --------------------------------------
-    bad_eye = orbit_perturb(true_eye, look_target, args.yaw, args.pitch)
-    init_cp = true_cp._replace(eye=jnp.asarray(bad_eye),
-                               fov=true_cp.fov + args.dfov)
+    # ---- 2. perturb pose (orbit increments) + albedo -------------------
+    init_op = OrbitParams.create(
+        float(true_op.radius) + args.dradius,
+        float(true_op.theta) + np.deg2rad(args.dtheta),
+        float(true_op.phi) + np.deg2rad(args.dphi),
+        float(true_op.fov) + args.dfov)
+    fields = ("theta", "phi", "fov") + (("radius",) if args.dradius else ())
     true_alb = sd.scene.mat_albedo
     bad_alb = true_alb.at[0].set(jnp.asarray([0.55, 0.25, 0.35], jnp.float32))
     bad_scene = sd.scene._replace(mat_albedo=bad_alb)
 
-    err_deg0 = eye_angle_deg(bad_eye, true_eye, look_target)
-    err_fov0 = abs(float(init_cp.fov) - float(true_cp.fov))
-    err_alb0 = float(jnp.abs(bad_alb - true_alb).max())
-    print(f"perturbation: eye {err_deg0:.3f} deg, fov {err_fov0:.4f} rad, "
-          f"albedo {err_alb0:.3f}", flush=True)
+    def op_errors(op):
+        dt = abs(float(op.theta) - float(true_op.theta))
+        dp = abs(float(op.phi) - float(true_op.phi))
+        df = abs(float(op.fov) - float(true_op.fov))
+        dr = abs(float(op.radius) - float(true_op.radius))
+        eye = np.asarray(op.to_camera_params(look_target, fl, blur).eye)
+        ang = eye_angle_deg(eye, true_eye, look_target)
+        return np.rad2deg(dt), np.rad2deg(dp), df, dr, ang
 
-    # ---- 3. soft pose (+ albedo) recovery at reduced res ----------------
+    e0 = op_errors(init_op)
+    err_alb0 = float(jnp.abs(bad_alb - true_alb).max())
+    print(f"perturbation: dtheta {e0[0]:.3f} deg, dphi {e0[1]:.3f} deg, "
+          f"dfov {e0[2]:.4f} rad, dradius {e0[3]:.3f}, eye angle "
+          f"{e0[4]:.3f} deg, albedo {err_alb0:.3f}", flush=True)
+
+    # ---- 3. soft pose recovery in orbit coords at reduced res ----------
     f = args.soft_scale
     soft_cfg = dataclasses.replace(cfg, width=w // f, height=h // f,
                                    backend="jax")
     soft_target = downsample(target, f)
     taus = tuple(float(v) for v in args.taus.split(","))
     t0 = time_mod.perf_counter()
-    rec_cp, rec_alb, losses = recover_camera_tris(
-        bad_scene, soft_cfg, soft_target, init_cp, steps=args.soft_steps,
-        learning_rate=args.lr, taus=taus, optimize_fields=("eye", "fov"),
-        optimize_albedo=args.joint_albedo, chunk=128,
-        log_every=max(1, args.soft_steps // (len(taus) * 6)))
+    rec_op, losses = recover_orbit_tris(
+        bad_scene, soft_cfg, soft_target, init_op, look_target,
+        focal_length=fl, focal_blur=blur, steps=args.soft_steps,
+        learning_rate=args.lr, taus=taus, optimize_fields=fields,
+        chunk=128, log_every=max(1, args.soft_steps // (len(taus) * 4)))
     dt_soft = time_mod.perf_counter() - t0
 
-    err_deg1 = eye_angle_deg(np.asarray(rec_cp.eye), true_eye, look_target)
-    err_fov1 = abs(float(rec_cp.fov) - float(true_cp.fov))
+    e1 = op_errors(rec_op)
     print(f"soft stage ({dt_soft:.1f}s, {len(losses)} steps, "
           f"loss {losses[0]:.3e} -> {losses[-1]:.3e}):", flush=True)
-    print(f"  eye angle: {err_deg0:.3f} -> {err_deg1:.4f} deg "
-          f"({err_deg0/max(err_deg1,1e-9):.1f}x)", flush=True)
-    print(f"  fov:       {err_fov0:.4f} -> {err_fov1:.5f} rad "
-          f"({err_fov0/max(err_fov1,1e-9):.1f}x)", flush=True)
+    print(f"  dtheta: {e0[0]:.3f} -> {e1[0]:.4f} deg "
+          f"({e0[0]/max(e1[0],1e-9):.1f}x)", flush=True)
+    print(f"  dphi:   {e0[1]:.3f} -> {e1[1]:.4f} deg "
+          f"({e0[1]/max(e1[1],1e-9):.1f}x)", flush=True)
+    print(f"  dfov:   {e0[2]:.4f} -> {e1[2]:.5f} rad "
+          f"({e0[2]/max(e1[2],1e-9):.1f}x)", flush=True)
+    if args.dradius:
+        print(f"  dradius: {e0[3]:.3f} -> {e1[3]:.4f} "
+              f"({e0[3]/max(e1[3],1e-9):.1f}x)", flush=True)
+    print(f"  eye angle: {e0[4]:.3f} -> {e1[4]:.4f} deg "
+          f"({e0[4]/max(e1[4],1e-9):.1f}x)", flush=True)
 
     # ---- 4. replay polish: albedo at FULL resolution, recovered pose ----
-    rec_scene = sd.scene._replace(
-        mat_albedo=rec_alb if rec_alb is not None else bad_alb)
-    rec_camera = look_at_jnp(rec_cp)
+    rec_camera = look_at_jnp(rec_op.to_camera_params(look_target, fl, blur))
     t0 = time_mod.perf_counter()
     params, plosses = fit_replay(
-        rec_scene, rec_camera, cfg, target, steps=args.polish_steps,
+        bad_scene, rec_camera, cfg, target, steps=args.polish_steps,
         rerecord_every=8, learning_rate=5e-2)
     dt_pol = time_mod.perf_counter() - t0
     fin_alb = params["scene"].mat_albedo
-    err_alb_soft = float(jnp.abs(
-        (rec_alb if rec_alb is not None else bad_alb) - true_alb).max())
     err_alb1 = float(jnp.abs(fin_alb - true_alb).max())
     print(f"replay polish ({dt_pol:.1f}s, {args.polish_steps} steps at "
           f"{w}x{h}, loss {plosses[0]:.3e} -> {plosses[-1]:.3e}):",
           flush=True)
-    print(f"  albedo max err: {err_alb0:.3f} (perturbed) -> "
-          f"{err_alb_soft:.3f} (soft) -> {err_alb1:.4f} (polish, "
-          f"{err_alb0/max(err_alb1,1e-9):.0f}x)", flush=True)
+    print(f"  albedo max err: {err_alb0:.3f} -> {err_alb1:.4f} "
+          f"({err_alb0/max(err_alb1,1e-9):.1f}x)", flush=True)
 
-    ok = (err_deg1 <= err_deg0 / 10 and err_fov1 <= err_fov0 / 10
-          and err_alb1 <= err_alb0 / 10)
-    print(f"config5 camera clause: pose+fov+albedo all >=10x reduced: {ok}",
+    pose_ok = (e1[0] <= e0[0] / 10 and e1[1] <= e0[1] / 10
+               and e1[2] <= e0[2] / 10)
+    print(f"config5 camera clause: theta+phi+fov all >=10x reduced: "
+          f"{pose_ok}; albedo {err_alb0/max(err_alb1,1e-9):.1f}x",
           flush=True)
     return 0
 
