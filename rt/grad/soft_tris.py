@@ -45,14 +45,13 @@ import jax
 import jax.numpy as jnp
 
 from rt.config import RenderConfig
-from rt.core import camera as camera_mod
 from rt.core.trace import sky_color
 from rt.core.triangle import TriangleScene
 
 
 def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
                      time, tau: float = 0.02, tau_depth: float = 0.5,
-                     chunk: int = 128):
+                     chunk: int = 128, return_aux: bool = False):
     """Smooth (H, W, 3) render of a triangle scene — differentiable w.r.t.
     camera and material albedos, everywhere.
 
@@ -61,12 +60,37 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
 
     chunk: triangles per scan step — bounds the live (chunk, H, W) planes
     (memory), with the sums streamed across steps.
+
+    Rays are CLEAN pixel-center rays — no AA jitter, no defocus: the
+    reference's unit-length per-pixel jitter (shader_sphere.wgsl:254-255)
+    scrambles adjacent rays by +-1 px, which turns the surrogate's own
+    silhouettes into noise; measured on Suzanne it erased the pose signal
+    entirely (the image-gradient loss was flat to 0.04% over +-3 degrees
+    — tools/exp_pose_landscape.py).  The surrogate is a smooth model, not
+    a Monte-Carlo estimator; its rays should be deterministic.
     """
-    _, _, direction = camera_mod.generate_primary_rays(
-        camera, config.width, config.height, time,
-        config.normalize_defocus_dir)
+    h, w = config.height, config.width
     o = camera.eye[:3]                            # shared origin (no blur)
-    d = direction                                 # (H, W, 3)
+    # pixel-center uv -> make_ray directions (the deterministic core of
+    # tc.generate_rays / camera.make_ray, minus jitter and defocus).
+    # +0.6478: the reference's AA jitter normalize(rng_vec2) is a UNIT
+    # first-quadrant vector — NOT zero-mean — so every target image's
+    # expected sample position is pixel + 0.5 + E[jitter] ~ 0.6478 in both
+    # axes; without this constant the recovered pose carries a systematic
+    # ~1 px (~0.6 deg) offset (measured: the cube landscape minimum sat at
+    # -0.6 deg for every loss mode).
+    jm = jnp.float32(0.6478)
+    y = (jnp.arange(h, dtype=jnp.float32) + 0.5 + jm)[:, None]
+    x = (jnp.arange(w, dtype=jnp.float32) + 0.5 + jm)[None, :]
+    uvx = (2.0 * x / jnp.float32(w - 1) - 1.0) * (jnp.float32(w)
+                                                  / jnp.float32(h))
+    uvy = -(2.0 * y / jnp.float32(h - 1) - 1.0)
+    k = jnp.tan(camera.fov * 0.5)
+    d4 = (camera.right[None, None, :] * (uvx * k)[..., None]
+          + camera.up[None, None, :] * (uvy * k)[..., None]
+          + camera.direction[None, None, :])      # (H, W, 4) with live w
+    d4 = d4 / jnp.sqrt(jnp.sum(d4 * d4, axis=-1, keepdims=True))
+    d = d4[..., :3]                               # (H, W, 3)
 
     # per-triangle constants (all M-T terms with a shared origin reduce to
     # dots of d against these):
@@ -149,7 +173,12 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
     total_cov = jnp.clip(covsum, 0.0, 1.0)
     mean_alb = csum / (wsum[..., None] + 1e-9)
     surf = mean_alb * 0.7 * sky * total_cov[..., None]
-    return surf + (1.0 - total_cov)[..., None] * sky
+    img = surf + (1.0 - total_cov)[..., None] * sky
+    if return_aux:
+        # total_cov doubles as a soft foreground mask when the scene passed
+        # in holds only the subject meshes — the ROI builder's input
+        return img, total_cov
+    return img
 
 
 def downsample(img, factor: int):
@@ -168,9 +197,34 @@ def _image_grads(img):
     return img[:, 1:] - img[:, :-1], img[1:] - img[:-1]
 
 
+def subject_roi(scene: TriangleScene, camera, config: RenderConfig, *,
+                subject_mat_ids, tau: float = 0.05, threshold: float = 0.2,
+                dilate: int = 31):
+    """(H, W) 0/1 region-of-interest mask: soft coverage of the SUBJECT
+    meshes (by material id) at the given (initial-guess) camera, dilated by
+    ``dilate`` pixels.  In enclosed scenes the full-frame loss is dominated
+    by wall-color bias and target gradient noise (measured flat/biased
+    landscapes on Suzanne — tools/exp_pose_landscape.py); restricting the
+    loss to the subject's silhouette neighbourhood is the standard pose-
+    estimation answer, and the dilation covers the whole perturbation
+    basin (2 deg ~ 35 px at 480 wide)."""
+    ids = jnp.asarray(list(subject_mat_ids))
+    keep = jnp.isin(scene.mat_id, ids)
+    idx = jnp.nonzero(keep)[0]
+    fg = scene._replace(a=scene.a[idx], b=scene.b[idx], c=scene.c[idx],
+                        normal=scene.normal[idx], mat_id=scene.mat_id[idx])
+    _, cov = soft_render_tris(fg, camera, config, jnp.uint32(1000), tau=tau,
+                              return_aux=True)
+    mask = (cov > threshold).astype(jnp.float32)
+    k = dilate
+    return jax.lax.reduce_window(mask, -jnp.inf, jax.lax.max, (k, k), (1, 1),
+                                 "SAME")
+
+
 def make_soft_tris_loss(scene: TriangleScene, config: RenderConfig, target,
                         time=1000, tau: float = 0.02, tau_depth: float = 0.5,
-                        chunk: int = 128, loss_mode: str = "mse"):
+                        chunk: int = 128, loss_mode: str = "mse",
+                        grad_pool: int = 1, weight=None):
     """loss(camera_params, mat_albedo|None) -> scalar vs an (H, W, 3) target
     (typically the exact render at the true pose, downsampled to the soft
     resolution).
@@ -185,12 +239,30 @@ def make_soft_tris_loss(scene: TriangleScene, config: RenderConfig, target,
                are where the surrogate is faithful, and spatial gradients
                suppress the smooth bias while keeping silhouette
                alignment.
-      "mse+grad" — sum of both."""
+      "mse+grad" — sum of both.
+
+    grad_pool: average-pool both images by this factor before the
+    finite differences (grad modes only) — suppresses the target's
+    Monte-Carlo gradient noise and widens the alignment basin.
+
+    weight: optional (H, W) loss weights (e.g. subject_roi) — normalized
+    weighted means replace the plain means."""
     from rt.grad.params import look_at_jnp
 
     target = jnp.asarray(target, jnp.float32)
-    tdx, tdy = _image_grads(target)
+    tpool = downsample(target, grad_pool) if grad_pool > 1 else target
+    tdx, tdy = _image_grads(tpool)
     t = jnp.uint32(time)
+    if weight is not None:
+        weight = jnp.asarray(weight, jnp.float32)
+        wpool = downsample(weight[..., None], grad_pool)[..., 0] \
+            if grad_pool > 1 else weight
+
+    def wmean(sq, wgt):
+        if wgt is None:
+            return jnp.mean(sq)
+        return (jnp.sum(sq * wgt[..., None])
+                / (jnp.sum(wgt) * sq.shape[-1] + 1e-9))
 
     @jax.jit
     def loss(cp, mat_albedo=None):
@@ -200,11 +272,16 @@ def make_soft_tris_loss(scene: TriangleScene, config: RenderConfig, target,
                                tau_depth=tau_depth, chunk=chunk)
         out = 0.0
         if loss_mode in ("mse", "mse+grad"):
-            diff = img - target
-            out = out + jnp.mean(diff * diff)
+            out = out + wmean((img - target) ** 2,
+                              None if weight is None else weight)
         if loss_mode in ("grad", "mse+grad"):
-            dx, dy = _image_grads(img)
-            out = out + jnp.mean((dx - tdx) ** 2) + jnp.mean((dy - tdy) ** 2)
+            ipool = downsample(img, grad_pool) if grad_pool > 1 else img
+            dx, dy = _image_grads(ipool)
+            wx = wy = None
+            if weight is not None:
+                wx, wy = wpool[:, 1:], wpool[1:]
+            out = (out + wmean((dx - tdx) ** 2, wx)
+                   + wmean((dy - tdy) ** 2, wy))
         return out
 
     return loss
@@ -254,6 +331,7 @@ def recover_orbit_tris(scene: TriangleScene, config: RenderConfig, target,
                        tau_depth: float = 0.5,
                        optimize_fields=("theta", "phi", "fov"),
                        chunk: int = 128, loss_mode: str = "mse",
+                       grad_pool: int = 1, weight=None,
                        log_every: int = 0):
     """Annealed pose recovery in ORBIT coordinates (the reference camera's
     own dof).  Returns (OrbitParams, losses).
@@ -271,7 +349,8 @@ def recover_orbit_tris(scene: TriangleScene, config: RenderConfig, target,
     for tau in taus:
         loss0 = make_soft_tris_loss(scene, config, target, time=time,
                                     tau=tau, tau_depth=tau_depth,
-                                    chunk=chunk, loss_mode=loss_mode)
+                                    chunk=chunk, loss_mode=loss_mode,
+                                    grad_pool=grad_pool, weight=weight)
         loss = jax.jit(lambda o: loss0(
             o.to_camera_params(look_target, focal_length, focal_blur)))
         opt = optax.adam(learning_rate)
