@@ -51,7 +51,8 @@ from rt.core.triangle import TriangleScene
 
 def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
                      time, tau: float = 0.02, tau_depth: float = 0.5,
-                     chunk: int = 128, return_aux: bool = False):
+                     chunk: int = 128, return_aux: bool = False,
+                     full_res=None):
     """Smooth (H, W, 3) render of a triangle scene — differentiable w.r.t.
     camera and material albedos, everywhere.
 
@@ -80,11 +81,27 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
     # ~1 px (~0.6 deg) offset (measured: the cube landscape minimum sat at
     # -0.6 deg for every loss mode).
     jm = jnp.float32(0.6478)
-    y = (jnp.arange(h, dtype=jnp.float32) + 0.5 + jm)[:, None]
-    x = (jnp.arange(w, dtype=jnp.float32) + 0.5 + jm)[None, :]
-    uvx = (2.0 * x / jnp.float32(w - 1) - 1.0) * (jnp.float32(w)
-                                                  / jnp.float32(h))
-    uvy = -(2.0 * y / jnp.float32(h - 1) - 1.0)
+    if full_res is not None:
+        # the target is a FULL-RES render average-pooled to (h, w): the
+        # reference's uv mapping pos/(res-1) does NOT commute with
+        # pooling (479*4 != 1919), which showed up as a ~0.2 deg theta +
+        # ~0.1% scale (fov) landscape bias at scale 4.  Generate rays at
+        # the mean of each pooled block's FULL-RES sample positions.
+        hf, wf = full_res
+        fy, fx = hf // h, wf // w
+        y = (jnp.arange(h, dtype=jnp.float32) * fy + (fy - 1) * 0.5
+             + 0.5 + jm)[:, None]
+        x = (jnp.arange(w, dtype=jnp.float32) * fx + (fx - 1) * 0.5
+             + 0.5 + jm)[None, :]
+        uvx = (2.0 * x / jnp.float32(wf - 1) - 1.0) * (jnp.float32(wf)
+                                                       / jnp.float32(hf))
+        uvy = -(2.0 * y / jnp.float32(hf - 1) - 1.0)
+    else:
+        y = (jnp.arange(h, dtype=jnp.float32) + 0.5 + jm)[:, None]
+        x = (jnp.arange(w, dtype=jnp.float32) + 0.5 + jm)[None, :]
+        uvx = (2.0 * x / jnp.float32(w - 1) - 1.0) * (jnp.float32(w)
+                                                      / jnp.float32(h))
+        uvy = -(2.0 * y / jnp.float32(h - 1) - 1.0)
     k = jnp.tan(camera.fov * 0.5)
     d4 = (camera.right[None, None, :] * (uvx * k)[..., None]
           + camera.up[None, None, :] * (uvy * k)[..., None]
@@ -101,6 +118,18 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
     e1 = scene.b.astype(jnp.float32) - a
     e2 = scene.c.astype(jnp.float32) - a
     n_raw = jnp.cross(e1, e2)
+    # DIELECTRIC surfaces are (near-)transparent in the real transport —
+    # the target shows the refracted background through them — but an
+    # opaque-visibility surrogate would paint them solid, and their
+    # phantom silhouettes bias pose alignment (measured: a +0.2-0.5 deg
+    # theta/fov landscape offset on Suzanne, whose scene holds two large
+    # dielectric cubes).  Zeroing n_raw makes det = 0 -> cov = 0: the
+    # surrogate simply does not see them (shape-static masking).
+    from rt.config import MAT_DIELECTRIC
+    kind_tri = scene.mat_kind[
+        jnp.clip(scene.mat_id, 0, scene.mat_kind.shape[0] - 1)]
+    opaque = (kind_tri != MAT_DIELECTRIC).astype(jnp.float32)[:, None]
+    n_raw = n_raw * opaque
     s = o[None, :] - a
     se2 = jnp.cross(s, e2)
     q = jnp.cross(s, e1)
@@ -166,8 +195,12 @@ def soft_render_tris(scene: TriangleScene, camera, config: RenderConfig,
 
     h, w = config.height, config.width
     zero = jnp.zeros((h, w), jnp.float32)
+    # remat: the scan's VJP would otherwise save every chunk step's
+    # (chunk, H, W) intermediates — 2.4 GB at 540x960/18 chunks (measured
+    # OOM); recomputing the einsums in the backward pass is cheap
     (wsum, csum, covsum), _ = jax.lax.scan(
-        body, (zero, jnp.zeros((h, w, 3), jnp.float32), zero), xs)
+        jax.checkpoint(body), (zero, jnp.zeros((h, w, 3), jnp.float32),
+                               zero), xs)
 
     sky = sky_color(d)
     total_cov = jnp.clip(covsum, 0.0, 1.0)
@@ -224,7 +257,7 @@ def subject_roi(scene: TriangleScene, camera, config: RenderConfig, *,
 def make_soft_tris_loss(scene: TriangleScene, config: RenderConfig, target,
                         time=1000, tau: float = 0.02, tau_depth: float = 0.5,
                         chunk: int = 128, loss_mode: str = "mse",
-                        grad_pool: int = 1, weight=None):
+                        grad_pool: int = 1, weight=None, full_res=None):
     """loss(camera_params, mat_albedo|None) -> scalar vs an (H, W, 3) target
     (typically the exact render at the true pose, downsampled to the soft
     resolution).
@@ -269,7 +302,8 @@ def make_soft_tris_loss(scene: TriangleScene, config: RenderConfig, target,
         sc = scene if mat_albedo is None else scene._replace(
             mat_albedo=mat_albedo)
         img = soft_render_tris(sc, look_at_jnp(cp), config, t, tau=tau,
-                               tau_depth=tau_depth, chunk=chunk)
+                               tau_depth=tau_depth, chunk=chunk,
+                               full_res=full_res)
         out = 0.0
         if loss_mode in ("mse", "mse+grad"):
             out = out + wmean((img - target) ** 2,
@@ -331,8 +365,8 @@ def recover_orbit_tris(scene: TriangleScene, config: RenderConfig, target,
                        tau_depth: float = 0.5,
                        optimize_fields=("theta", "phi", "fov"),
                        chunk: int = 128, loss_mode: str = "mse",
-                       grad_pool: int = 1, weight=None,
-                       log_every: int = 0):
+                       grad_pool: int = 1, weight=None, full_res=None,
+                       return_best: bool = True, log_every: int = 0):
     """Annealed pose recovery in ORBIT coordinates (the reference camera's
     own dof).  Returns (OrbitParams, losses).
 
@@ -346,11 +380,13 @@ def recover_orbit_tris(scene: TriangleScene, config: RenderConfig, target,
 
     op = init_orbit
     losses = []
-    for tau in taus:
+    best = None
+    for stage, tau in enumerate(taus):
         loss0 = make_soft_tris_loss(scene, config, target, time=time,
                                     tau=tau, tau_depth=tau_depth,
                                     chunk=chunk, loss_mode=loss_mode,
-                                    grad_pool=grad_pool, weight=weight)
+                                    grad_pool=grad_pool, weight=weight,
+                                    full_res=full_res)
         loss = jax.jit(lambda o: loss0(
             o.to_camera_params(look_target, focal_length, focal_blur)))
         opt = optax.adam(learning_rate)
@@ -363,8 +399,16 @@ def recover_orbit_tris(scene: TriangleScene, config: RenderConfig, target,
             upd, st = opt.update(g, st, op)
             op = optax.apply_updates(op, upd)
             losses.append(float(l))
+            # near the optimum adam oscillates at sub-pixel scale: keep the
+            # best-loss iterate of the FINAL tau stage (losses are only
+            # comparable within one tau)
+            if (return_best and stage == len(taus) - 1
+                    and (best is None or losses[-1] < best[0])):
+                best = (losses[-1], op)
             if log_every and (i + 1) % log_every == 0:
                 print(f"  tau={tau} step {i+1}: loss {losses[-1]:.3e}")
+    if return_best and best is not None:
+        op = best[1]
     return op, losses
 
 

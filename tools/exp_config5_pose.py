@@ -48,10 +48,14 @@ def main(argv=None):
                    help="radius perturbation (scene units); nonzero adds "
                         "'radius' to the optimized fields")
     p.add_argument("--soft-steps", type=int, default=240)
+    p.add_argument("--fine-scale", type=int, default=2,
+                   help="second soft stage at this downsample factor "
+                        "(0 disables)")
+    p.add_argument("--fine-steps", type=int, default=150)
     p.add_argument("--polish-steps", type=int, default=24)
     p.add_argument("--spp", type=int, default=4)
-    p.add_argument("--lr", type=float, default=6e-3)
-    p.add_argument("--taus", default="0.1,0.04,0.015,0.006")
+    p.add_argument("--lr", type=float, default=4e-3)
+    p.add_argument("--taus", default="0.02,0.008,0.003,0.0012")
     p.add_argument("--backend", default="auto")
     args = p.parse_args(argv)
 
@@ -128,8 +132,28 @@ def main(argv=None):
         bad_scene, soft_cfg, soft_target, init_op, look_target,
         focal_length=fl, focal_blur=blur, steps=args.soft_steps,
         learning_rate=args.lr, taus=taus, optimize_fields=fields,
+        loss_mode="grad", grad_pool=2, full_res=(h, w),
         chunk=128, log_every=max(1, args.soft_steps // (len(taus) * 4)))
     dt_soft = time_mod.perf_counter() - t0
+
+    # ---- 3b. fine refinement at half the pooling (fov needs resolution:
+    # image scale is a ~0.3 deg effect at scale 4 — the landscape's own
+    # floor; scale 2 quarters it) --------------------------------------
+    if args.fine_scale:
+        f2 = args.fine_scale
+        fine_cfg = dataclasses.replace(cfg, width=w // f2, height=h // f2,
+                                       backend="jax")
+        fine_target = downsample(target, f2)
+        t1 = time_mod.perf_counter()
+        rec_op, losses2 = recover_orbit_tris(
+            bad_scene, fine_cfg, fine_target, rec_op, look_target,
+            focal_length=fl, focal_blur=blur, steps=args.fine_steps,
+            learning_rate=args.lr * 0.4, taus=(0.0025, 0.001, 0.0005),
+            optimize_fields=fields, loss_mode="grad", grad_pool=2,
+            full_res=(h, w), chunk=64,
+            log_every=max(1, args.fine_steps // 6))
+        losses += losses2
+        dt_soft += time_mod.perf_counter() - t1
 
     e1 = op_errors(rec_op)
     print(f"soft stage ({dt_soft:.1f}s, {len(losses)} steps, "
@@ -155,6 +179,9 @@ def main(argv=None):
     dt_pol = time_mod.perf_counter() - t0
     fin_alb = params["scene"].mat_albedo
     err_alb1 = float(jnp.abs(fin_alb - true_alb).max())
+    per_mat = np.abs(np.asarray(fin_alb) - np.asarray(true_alb)).max(axis=1)
+    print(f"  per-material albedo err: "
+          + " ".join(f"{v:.4f}" for v in per_mat), flush=True)
     print(f"replay polish ({dt_pol:.1f}s, {args.polish_steps} steps at "
           f"{w}x{h}, loss {plosses[0]:.3e} -> {plosses[-1]:.3e}):",
           flush=True)

@@ -65,13 +65,11 @@ def main(argv=None):
     offs = [-3.0, -2.0, -1.0, -0.5, -0.2, 0.0, 0.2, 0.5, 1.0, 2.0, 3.0]
     for label, sc_probe, mode, pool in (
             ("bad-alb", bad_scene, "grad", 2),
-            ("true-alb", sd.scene, "grad", 2),
-            ("true-alb", sd.scene, "mse", 1),
-            ("true-alb-p4", sd.scene, "grad", 4)):
-        for tau in (0.008, 0.004, 0.002):
+            ("bad-alb", bad_scene, "mse", 1)):
+        for tau in (0.004, 0.002, 0.001):
             loss0 = make_soft_tris_loss(sc_probe, soft_cfg, soft_target,
                                         tau=tau, loss_mode=mode,
-                                        grad_pool=pool)
+                                        grad_pool=pool, full_res=(h, w))
             for field in ("theta", "phi"):
                 row = []
                 for o in offs:
