@@ -122,7 +122,8 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
                scene_fields=dict(albedo=True, mat_param=False),
                init_params: Optional[dict] = None,
                gather_mode: str = "auto", frozen_geometry: bool = True,
-               recorder: str = "auto", log_every: int = 0, mesh=None):
+               recorder: str = "auto", log_every: int = 0, mesh=None,
+               loss_weight=None):
     """Path-replay inverse rendering — the PRODUCTION loop (fast path).
 
     Outer loop: re-record the Monte-Carlo path structure at the current
@@ -144,6 +145,12 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
     mean makes XLA psum the parameter gradients over the mesh (ICI on a
     real slice) — classic data parallelism with pixels as the batch.
     Results match the unsharded loop up to reduction order.
+
+    ``loss_weight``: optional (H, W) per-pixel weights on the image MSE.
+    The soft-then-polish pose pipeline uses an EDGE-DOWNWEIGHTED mask:
+    after pose recovery a ~1 px residual misalignment concentrates the
+    image mismatch in silhouette bands, and an unweighted fit drags
+    materials off-truth to absorb it — interiors alone identify albedo.
     """
     import numpy as np
 
@@ -203,6 +210,13 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
     # `rerecord_every` steps and bake the (bounces, H, W) hits array into
     # the executable as a constant.  Only the final short block (different
     # static k) compiles a second executable.
+    lw = None
+    if loss_weight is not None:
+        lw = jnp.asarray(loss_weight, jnp.float32)
+        if mesh is not None:
+            lw = jax.device_put(lw, row_s(lw.ndim, 0))
+        lw_norm = jnp.sum(lw) * 3.0 + 1e-9
+
     def loss_of(p, hits, pre_rows):
         sc = apply_scene(p)
         cam = camera_from_params(p.get("camera"), base_camera)
@@ -210,7 +224,10 @@ def fit_replay(base_scene, base_camera, config: RenderConfig, target,
                            gather_mode=gather_mode,
                            frozen_geometry=frozen_geometry,
                            _pre_rows=pre_rows)
-        return image_mse(img, target)
+        if lw is None:
+            return image_mse(img, target)
+        d = img - target
+        return jnp.sum(d * d * lw[..., None]) / lw_norm
 
     @partial(jax.jit, static_argnames=("k",))
     def chain(params, opt_state, hits, pre_rows, k):

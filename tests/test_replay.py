@@ -460,3 +460,36 @@ def test_fit_replay_accepts_camera_params():
         lambda a, b: float(jnp.abs(a - b).max()) > 0.0,
         params["camera"], cp0)
     assert all(jax.tree_util.tree_leaves(moved)), "camera params frozen"
+
+
+def test_fit_replay_loss_weight():
+    """loss_weight=ones reproduces the unweighted loop exactly; a mask
+    confined to the left half still recovers the albedo (interiors
+    identify it) — the edge-downweighted polish mode of the config-5
+    pipeline (tools/exp_config5_pose.py)."""
+    import dataclasses
+
+    import numpy as np
+
+    from rt.grad.train import fit_replay
+    from rt.render.renderer import render_color
+    from rt.scene import scenes
+
+    sd = scenes.test_scene_metal(64, 48)
+    cfg = dataclasses.replace(sd.config, bounces=3)
+    target = render_color(sd.scene, sd.camera, cfg, jnp.uint32(1000))
+    bad = sd.scene._replace(
+        albedo=sd.scene.albedo.at[1].set(jnp.asarray([0.9, 0.1, 0.1],
+                                                     jnp.float32)))
+    kw = dict(steps=4, rerecord_every=2, learning_rate=5e-2,
+              recorder="oracle")
+    _, l_ref = fit_replay(bad, sd.camera, cfg, target, **kw)
+    _, l_ones = fit_replay(bad, sd.camera, cfg, target,
+                           loss_weight=jnp.ones((48, 64)), **kw)
+    np.testing.assert_allclose(l_ones, l_ref, rtol=1e-6, atol=0)
+
+    w = jnp.zeros((48, 64)).at[:, :32].set(1.0)
+    params, losses = fit_replay(bad, sd.camera, cfg, target, loss_weight=w,
+                                steps=12, rerecord_every=4,
+                                learning_rate=5e-2, recorder="oracle")
+    assert losses[-1] < losses[0]
