@@ -91,11 +91,11 @@ def record_hits_pallas(scene, camera, config: RenderConfig, time,
     "auto" (wave above the same 8192-triangle threshold the render dispatch
     uses).
 
-    Call EAGERLY for large meshes (as fit_replay does) — do NOT wrap in an
-    outer jax.jit: XLA then scope-allocates the recording kernels' outputs
-    ((bounces+10) x H x W planes) in VMEM and OOMs past ~50K triangles /
-    512x512 (measured: dragon 26.4M > the 16M scoped limit).  Eagerly, each
-    pallas_call jits alone and its outputs land in HBM."""
+    Works both eagerly (as fit_replay calls it) and under an outer
+    jax.jit: r4 re-verified dragon 512x512 under jit bit-equal to eager
+    (tools/exp_record_jit.py; eager 0.42 s).  The r3 VMEM OOM under an
+    outer jit disappeared with the scatter->inverse-sort restore rework —
+    the element scatters were what XLA scope-allocated."""
     from rt.kernels.dispatch import (_round_up, pack_camera,
                                      pack_spheres_table)
     from rt.config import MAT_DIELECTRIC, MAT_METAL
