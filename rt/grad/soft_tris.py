@@ -244,6 +244,10 @@ def subject_roi(scene: TriangleScene, camera, config: RenderConfig, *,
     ids = jnp.asarray(list(subject_mat_ids))
     keep = jnp.isin(scene.mat_id, ids)
     idx = jnp.nonzero(keep)[0]
+    # bmin/bmax (the BVH planes) are intentionally left at the FULL scene's
+    # values: soft_render_tris never traverses the BVH (it scans the
+    # triangle list), so the filtered scene is only valid for the soft
+    # path — do not hand it to a BVH-walking renderer.
     fg = scene._replace(a=scene.a[idx], b=scene.b[idx], c=scene.c[idx],
                         normal=scene.normal[idx], mat_id=scene.mat_id[idx])
     _, cov = soft_render_tris(fg, camera, config, jnp.uint32(1000), tau=tau,
@@ -392,19 +396,21 @@ def recover_orbit_tris(scene: TriangleScene, config: RenderConfig, target,
         opt = optax.adam(learning_rate)
         st = opt.init(op)
         grad = jax.jit(jax.value_and_grad(loss))
-        for i in range(steps // len(taus)):
+        for i in range(max(1, steps // len(taus))):
             l, g = grad(op)
+            losses.append(float(l))
+            # near the optimum adam oscillates at sub-pixel scale: keep the
+            # best-loss iterate of the FINAL tau stage (losses are only
+            # comparable within one tau).  `l` was evaluated at the
+            # PRE-update `op`, so record that iterate — pairing it with the
+            # post-update one would discard the params that achieved it.
+            if (return_best and stage == len(taus) - 1
+                    and (best is None or losses[-1] < best[0])):
+                best = (losses[-1], op)
             g = jax.tree_util.tree_map(
                 lambda gi, mi: gi if mi else jnp.zeros_like(gi), g, mask)
             upd, st = opt.update(g, st, op)
             op = optax.apply_updates(op, upd)
-            losses.append(float(l))
-            # near the optimum adam oscillates at sub-pixel scale: keep the
-            # best-loss iterate of the FINAL tau stage (losses are only
-            # comparable within one tau)
-            if (return_best and stage == len(taus) - 1
-                    and (best is None or losses[-1] < best[0])):
-                best = (losses[-1], op)
             if log_every and (i + 1) % log_every == 0:
                 print(f"  tau={tau} step {i+1}: loss {losses[-1]:.3e}")
     if return_best and best is not None:
@@ -444,7 +450,7 @@ def recover_camera_tris(scene: TriangleScene, config: RenderConfig, target,
         st = opt.init(params)
         grad = jax.jit(jax.value_and_grad(
             lambda p: loss(*p) if optimize_albedo else loss(p[0])))
-        for i in range(steps // len(taus)):
+        for i in range(max(1, steps // len(taus))):
             l, g = grad(params)
             gcp = jax.tree_util.tree_map(
                 lambda gi, mi: gi if mi else jnp.zeros_like(gi), g[0], mask)
