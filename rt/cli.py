@@ -60,7 +60,11 @@ def parse_args(argv=None):
                    help="resume from --checkpoint if it exists")
     p.add_argument("--sharded", action="store_true",
                    help="shard the image by rows across all devices "
-                        "(height must divide by the device count)")
+                        "(height must divide by the device count); with a "
+                        "pallas backend on a triangle scene this drives the "
+                        "shard_mapped wavefront pipeline (rt/dist/wave.py)")
+    p.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpret mode (CPU debug)")
     return p.parse_args(argv)
 
 
@@ -92,6 +96,8 @@ def main(argv=None) -> int:
     cfg_kw = dict(backend=args.backend)
     if args.spp is not None:
         cfg_kw["samples_per_frame"] = args.spp
+    if args.interpret:
+        cfg_kw["interpret"] = True
     sd = dataclasses.replace(
         sd, config=dataclasses.replace(sd.config, **cfg_kw))
     print(f"scene {scene_id} ({sd.name}), {w}x{h}, {args.frames} frames, "
@@ -99,21 +105,42 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     r = ProgressiveRenderer(sd)
+    wave_frames = None
     if args.sharded:
         import jax
 
+        from rt.core.triangle import TriangleScene
         from rt.dist import make_mesh, shard_scene, shard_state
         mesh = make_mesh()
         if h % len(jax.devices()) != 0:
             print(f"--sharded: height {h} not divisible by "
                   f"{len(jax.devices())} devices", file=sys.stderr)
             return 2
+        if args.backend.startswith("pallas"):
+            # the production DP design for the device path is the
+            # shard_mapped WAVEFRONT pipeline (rt/dist/wave.py): shard-local
+            # ray streams/sorts, zero per-frame collectives.  It exists only
+            # for triangle scenes ("pallas"/"pallas_wave"); anything else
+            # fails loudly rather than silently replicating a Pallas launch
+            # under the SPMD partitioner.
+            if (not isinstance(sd.scene, TriangleScene)
+                    or args.backend == "pallas_mono"):
+                print("--sharded with a pallas backend requires a triangle "
+                      "scene and the wavefront backend (--backend pallas); "
+                      "use --backend jax for sharded sphere scenes",
+                      file=sys.stderr)
+                return 2
+            from rt.dist.wave import sharded_wave_frames
+            wave_frames = sharded_wave_frames(
+                mesh, interpret=sd.config.interpret)
         r.state = shard_state(r.state, mesh)
         sd = dataclasses.replace(sd, scene=shard_scene(sd.scene, mesh),
                                  camera=shard_scene(sd.camera, mesh))
         r.scene_def = sd
         r.camera = sd.camera
-        print(f"sharded over {len(jax.devices())} devices", file=sys.stderr)
+        print(f"sharded over {len(jax.devices())} devices"
+              + (" (wavefront shard_map)" if wave_frames is not None else ""),
+              file=sys.stderr)
     r.set_time(args.start_time)
     done = 0
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
@@ -128,7 +155,14 @@ def main(argv=None) -> int:
     while done < args.frames:
         n = min(args.batch, args.frames - done)
         t0 = time_mod.perf_counter()
-        r.draw_frames(n, args.time_step)
+        if wave_frames is not None:
+            import jax.numpy as jnp
+            r.state = wave_frames(sd.scene, r.camera, r.state,
+                                  jnp.uint32(r.time),
+                                  jnp.uint32(args.time_step), sd.config, n)
+            r.set_time(r.time + n * args.time_step)
+        else:
+            r.draw_frames(n, args.time_step)
         np.asarray(r.state.image)       # sync (axon-safe)
         stats.update(n, time_mod.perf_counter() - t0)
         done += n

@@ -88,6 +88,10 @@ class RenderConfig:
     # final dir -> sky,  making geometry gradients FD-verifiable in the
     # EXACT transport (rt/grad, tests/test_grad.py geometry tests).
     sky_from_final_dir: bool = False
+    # Run the Pallas kernels in interpret mode (CPU-executable reference
+    # semantics) — lets the pallas backends be driven end-to-end off-TPU
+    # (CLI --interpret, CPU tests).  No effect on the "jax" backend.
+    interpret: bool = False
 
     @staticmethod
     def for_spheres(width: int = 512, height: int = 512, **kw) -> "RenderConfig":

@@ -37,7 +37,8 @@ from rt.config import RenderConfig
 from rt.dist.sharding import AXIS
 from rt.render.renderer import RenderState
 
-__all__ = ["sharded_wave_render_frames", "sharded_wave_step"]
+__all__ = ["sharded_wave_render_frames", "sharded_wave_step",
+           "sharded_wave_frames"]
 
 
 def _band_colors(scene, cam_row, times, row0, *, height, width, band_h,
@@ -104,19 +105,47 @@ def sharded_wave_render_frames(scene, camera, config: RenderConfig, times,
         check_vma=False)(scene, cam_row, times_arr)
 
 
+def _step_graph(scene, camera, state: RenderState, time,
+                config: RenderConfig, *, mesh: Mesh, axis_name: str,
+                n: int, interpret: bool) -> RenderState:
+    """Un-jitted sharded progressive step: trace every shard's row band and
+    EMA-accumulate into its image shard (shader_sphere.wgsl:266-271
+    semantics, identical to render_frame); frame_count stays replicated."""
+    from rt.core.vecmath import mix
+    from rt.kernels.dispatch import pack_camera
+
+    band_h, kw = _band_params(scene, config, n)
+    cam_row = pack_camera(camera)
+
+    def per_shard(scene, cam_row, img, fc, time):
+        row0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * band_h
+        color = _band_colors(scene, cam_row, time.reshape(1, 1), row0,
+                             height=config.height, width=config.width,
+                             band_h=band_h, kw=kw,
+                             interpret=interpret)[0]
+        fcm = jnp.minimum(fc, jnp.uint32(config.sample_frame))
+        w = 1.0 / (fcm.astype(jnp.float32) + 1.0)
+        return mix(img, color, w), fc + 1
+
+    rep = P()
+    img, fc = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(rep, rep, P(axis_name, None, None), rep, rep),
+        out_specs=(P(axis_name, None, None), rep),
+        check_vma=False)(scene, cam_row, state.image,
+                         state.frame_count, jnp.asarray(time, jnp.uint32))
+    return RenderState(image=img, frame_count=fc)
+
+
 def sharded_wave_step(mesh: Mesh, axis_name: str = AXIS,
                       interpret: bool = False):
     """Jitted progressive step on the wave backend with the accumulator
     row-sharded: step(scene, camera, state, time, config) -> RenderState.
 
     The multi-chip production render loop for triangle scenes: each chip
-    traces its rows' stream and EMA-accumulates into its image shard
-    (shader_sphere.wgsl:266-271 semantics, identical to render_frame);
+    traces its rows' stream and EMA-accumulates into its image shard;
     frame_count stays replicated.  Zero per-frame collectives.
     """
-    from rt.core.vecmath import mix
-    from rt.kernels.dispatch import pack_camera
-
     img_s = NamedSharding(mesh, P(axis_name, None, None))
     rep_s = NamedSharding(mesh, P())
     n = mesh.shape[axis_name]
@@ -125,26 +154,37 @@ def sharded_wave_step(mesh: Mesh, axis_name: str = AXIS,
              out_shardings=RenderState(image=img_s, frame_count=rep_s))
     def step(scene, camera, state: RenderState, time,
              config: RenderConfig) -> RenderState:
-        band_h, kw = _band_params(scene, config, n)
-        cam_row = pack_camera(camera)
-
-        def per_shard(scene, cam_row, img, fc, time):
-            row0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * band_h
-            color = _band_colors(scene, cam_row, time.reshape(1, 1), row0,
-                                 height=config.height, width=config.width,
-                                 band_h=band_h, kw=kw,
-                                 interpret=interpret)[0]
-            fcm = jnp.minimum(fc, jnp.uint32(config.sample_frame))
-            w = 1.0 / (fcm.astype(jnp.float32) + 1.0)
-            return mix(img, color, w), fc + 1
-
-        rep = P()
-        img, fc = shard_map(
-            per_shard, mesh=mesh,
-            in_specs=(rep, rep, P(axis_name, None, None), rep, rep),
-            out_specs=(P(axis_name, None, None), rep),
-            check_vma=False)(scene, cam_row, state.image,
-                             state.frame_count, jnp.asarray(time, jnp.uint32))
-        return RenderState(image=img, frame_count=fc)
+        return _step_graph(scene, camera, state, time, config, mesh=mesh,
+                           axis_name=axis_name, n=n, interpret=interpret)
 
     return step
+
+
+def sharded_wave_frames(mesh: Mesh, axis_name: str = AXIS,
+                        interpret: bool = False):
+    """Jitted multi-frame progressive loop on the sharded wave backend:
+    frames(scene, camera, state, time0, time_step, config, n_frames) ->
+    RenderState — the multi-chip analog of rt.render.renderer.render_frames
+    (a lax.scan of the sharded step, one compiled call per batch), which is
+    what the CLI's --sharded --backend pallas path drives (rt/cli.py)."""
+    img_s = NamedSharding(mesh, P(axis_name, None, None))
+    rep_s = NamedSharding(mesh, P())
+    n = mesh.shape[axis_name]
+
+    @partial(jax.jit, static_argnames=("config", "n_frames"),
+             out_shardings=RenderState(image=img_s, frame_count=rep_s))
+    def frames(scene, camera, state: RenderState, time0, time_step,
+               config: RenderConfig, n_frames: int) -> RenderState:
+        time0 = jnp.asarray(time0, jnp.uint32)
+        time_step = jnp.asarray(time_step, jnp.uint32)
+
+        def body(st, i):
+            return _step_graph(scene, camera, st, time0 + i * time_step,
+                               config, mesh=mesh, axis_name=axis_name, n=n,
+                               interpret=interpret), None
+
+        st, _ = jax.lax.scan(body, state,
+                             jnp.arange(n_frames, dtype=jnp.uint32))
+        return st
+
+    return frames

@@ -76,7 +76,8 @@ def render_frame(scene, camera, state: RenderState, time,
     """draw(): trace every pixel once and EMA-accumulate."""
     if config.backend in ("pallas", "pallas_wave", "pallas_mono"):
         from rt.kernels import dispatch as kernel_dispatch
-        color = kernel_dispatch.render_color(scene, camera, config, time)
+        color = kernel_dispatch.render_color(scene, camera, config, time,
+                                             interpret=config.interpret)
     else:
         color = render_color(scene, camera, config, time)
     fc = jnp.minimum(state.frame_count, jnp.uint32(config.sample_frame))

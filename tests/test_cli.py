@@ -97,6 +97,36 @@ def test_sharded_render_matches_unsharded(tmp_path):
     assert out_s.read_text() == out_u.read_text()
 
 
+def test_sharded_wave_cli_matches_unsharded(tmp_path):
+    """--sharded --backend pallas on a triangle scene drives the shard_mapped
+    wavefront pipeline (rt/dist/wave.py) from the app shell; its PPM equals
+    the unsharded wavefront render bitwise (VERDICT r4 item 7)."""
+    out_s = tmp_path / "s.ppm"
+    out_u = tmp_path / "u.ppm"
+    args = ["--scene", "3", "--frames", "2", "--size", "32x32",
+            "--backend", "pallas", "--interpret"]
+    assert run_cli(args + ["--sharded", "-o", str(out_s)]) == 0
+    assert run_cli(args + ["-o", str(out_u)]) == 0
+    assert out_s.read_text() == out_u.read_text()
+
+
+def test_sharded_pallas_sphere_fails_loudly(tmp_path):
+    """--sharded + pallas on a sphere scene (or pallas_mono anywhere) has no
+    shard_mapped production path — exit 2 before rendering, never a silent
+    fallback."""
+    out = tmp_path / "out.ppm"
+    rc = run_cli(["--scene", "1", "--frames", "1", "--size", "32x32",
+                  "--backend", "pallas", "--interpret", "--sharded",
+                  "-o", str(out)])
+    assert rc == 2
+    assert not out.exists()
+    rc = run_cli(["--scene", "3", "--frames", "1", "--size", "32x32",
+                  "--backend", "pallas_mono", "--interpret", "--sharded",
+                  "-o", str(out)])
+    assert rc == 2
+    assert not out.exists()
+
+
 def test_scene_id_fallback_semantics():
     """App::parse_args (src/app.rs:36-41): id from argv when parseable,
     random in 1..=7 otherwise; --scene overrides positionally."""
