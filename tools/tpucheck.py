@@ -16,8 +16,15 @@ Checks:
     independent on-chip);
  3. record == render: the recording sphere kernel's color plane against the
     render kernel, bitwise; recorded hit fraction sanity.
+ 4. chunked sphere kernel == flat scan (cover scene), 1-ULP.
+ 5. ABSOLUTE compiled-triangle anchor (VERDICT r4 item 5): the production
+    wavefront backend's progressive 8-frame suzanne render on-chip vs the
+    repo's own golden tier (tests/golden_tris/suzanne.ppm, the scene class
+    the reference's golden harness tests/rendering_tests.rs:14-49 never
+    covers) — so a compiled-kernel regression that flips wave AND mono
+    identically can no longer pass the relative wave==mono gate alone.
 
-Usage: python tools/tpucheck.py [--out TPUCHECK_r02.json]
+Usage: python tools/tpucheck.py [--out TPUCHECK_r05.json]
 """
 from __future__ import annotations
 
@@ -74,7 +81,7 @@ np.save("/tmp/tpucheck_oracle.npy", img)
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default="TPUCHECK_r02.json")
+    p.add_argument("--out", default="TPUCHECK_r05.json")
     args = p.parse_args(argv)
 
     from rt.kernels.dispatch import render_color as k_render
@@ -174,6 +181,36 @@ def main(argv=None):
     print(f"4. chunked==flat cover 256x144 b10: "
           f"{'BITWISE EQUAL' if eq4 else f'{nd4} diffs, max {md4:.2e}'}"
           f" -> {'PASS' if c4['pass'] else 'FAIL'}", flush=True)
+
+    # ---- 5. absolute compiled-triangle golden (suzanne, own tier) ---------
+    # same protocol as tests/test_golden_tris.py (128x128, 8 frames at times
+    # 1000..1070, progressive EMA) but through the COMPILED production wave
+    # backend; mono rides along.  The golden is oracle-generated (itself
+    # anchored bit-exactly to the reference's sphere goldens), so this pins
+    # compiled triangle output to an absolute reference.  Bound: the golden
+    # tier's own 0.05% regression bound relaxed 4x for compiled-vs-oracle
+    # FMA-contraction branch flips (measured 0.003-0.02% — grazing-hit
+    # flips only).
+    from rt.render.renderer import ProgressiveRenderer
+    from rt.scene import scenes as sc_mod
+
+    golden_tris = parse_ppm(open("tests/golden_tris/suzanne.ppm").read())
+    pcts = {}
+    for backend in ("pallas", "pallas_mono"):
+        sd = sc_mod.scene_suzanne(128, 128)
+        sd = dataclasses.replace(
+            sd, config=dataclasses.replace(sd.config, backend=backend))
+        r = ProgressiveRenderer(sd)
+        r.set_time(1000)
+        r.draw_frames(8)
+        pcts[backend] = golden_metric(to_u8(r.image), golden_tris)
+    c5 = {"wave_pct": pcts["pallas"], "mono_pct": pcts["pallas_mono"],
+          "pass": max(pcts.values()) <= 0.2}
+    results["checks"]["tris_golden_suzanne_128"] = c5
+    ok_all &= c5["pass"]
+    print(f"5. compiled tris vs own golden (suzanne 128^2 x8f): "
+          f"wave {pcts['pallas']:.4f}%, mono {pcts['pallas_mono']:.4f}% "
+          f"-> {'PASS' if c5['pass'] else 'FAIL'} (bound 0.2%)", flush=True)
 
     results["pass"] = bool(ok_all)
     with open(args.out, "w") as f:
