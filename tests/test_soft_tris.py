@@ -142,6 +142,106 @@ def test_orbit_params_roundtrip():
         [9.26, 1.57, 1.33], atol=1e-5)
 
 
+@pytest.mark.slow
+def test_suzanne_lp_config5_pipeline():
+    """BASELINE config 5 at MESH scale, end-to-end in the suite (VERDICT r4
+    item 6): the full tools/exp_config5_pose.py recipe on a low-poly Suzanne
+    flagship scene (225-face suzanne_lp in the scene_tris.rs:119-159 room,
+    all three material kinds) small enough for CPU —
+
+      1. exact 4-spp target + same-seed 1-spp observation at the true pose;
+      2. orbit-coordinate perturbation (dtheta 2 deg, dphi 1 deg,
+         dfov 0.02 rad — the tool's full-scale setup);
+      3. soft pose stage: annealed orbit recovery with the image-GRADIENT
+         loss, pooled-uv full-res rays, and grad_pool=2 (the hand-tuned
+         pipeline elements PERF.md r4 lists — this test is what keeps them
+         from regressing silently), then a short full-res refinement;
+      4. edge-downweighted replay albedo polish at the recovered pose
+         against the seed-matched observation.
+
+    Guards >=10x reduction on theta/phi, >=2x on fov, >=5x on albedo."""
+    import dataclasses
+
+    from rt.core.camera import look_at
+    from rt.grad.soft_tris import (OrbitParams, downsample,
+                                   recover_orbit_tris)
+    from rt.grad.train import fit_replay
+    from rt.render.renderer import render_color
+    from rt.scene import bvh as bvh_mod
+    from rt.scene.objloader import load_asset
+    from rt.scene.scenes import _tris_scene
+
+    w, h = 192, 108
+    cam = look_at((0.0, 2.2, 4.5), (0.0, 0.0, -4.5), 5.6, 0.0, np.pi * 0.3)
+    meshes = [
+        load_asset("suzanne_lp.obj",
+                   bvh_mod.material_lambertian((0.3, 0.4, 0.6))),
+        load_asset("ico_sphere.obj", bvh_mod.material_dielectric(0.2)),
+        load_asset("cube_s.obj", bvh_mod.material_metal((0.5, 0.5, 0.6), 0.2)),
+        load_asset("cube_m.obj", bvh_mod.material_dielectric(0.1)),
+        load_asset("cube_l.obj", bvh_mod.material_lambertian((0.5, 0.5, 0.6))),
+    ]
+    sd = _tris_scene("suzanne_lp", meshes, cam, w, h)
+    cfg = dataclasses.replace(sd.config, samples_per_frame=4)
+
+    look_target = np.array([0.0, 0.0, -4.5], np.float32)
+    fl, blur = float(cam.focal_length), float(cam.focal_blur)
+    true_op = OrbitParams.from_eye(np.asarray(cam.eye[:3]), look_target,
+                                   float(cam.fov))
+
+    target = jnp.asarray(np.asarray(
+        render_color(sd.scene, cam, cfg, jnp.uint32(1000))))
+    cfg1 = dataclasses.replace(cfg, samples_per_frame=1)
+    target1 = jnp.asarray(np.asarray(
+        render_color(sd.scene, cam, cfg1, jnp.uint32(1000))))
+
+    dth0, dph0, dfv0 = float(np.deg2rad(2.0)), float(np.deg2rad(1.0)), 0.02
+    init_op = OrbitParams.create(float(true_op.radius),
+                                 float(true_op.theta) + dth0,
+                                 float(true_op.phi) + dph0,
+                                 float(true_op.fov) + dfv0)
+    true_alb = sd.scene.mat_albedo
+    bad_alb = true_alb.at[0].set(jnp.asarray([0.55, 0.25, 0.35], jnp.float32))
+    bad_scene = sd.scene._replace(mat_albedo=bad_alb)
+
+    soft_cfg = dataclasses.replace(cfg, width=w // 2, height=h // 2,
+                                   backend="jax")
+    rec_op, losses = recover_orbit_tris(
+        bad_scene, soft_cfg, downsample(target, 2), init_op, look_target,
+        focal_length=fl, focal_blur=blur, steps=160, learning_rate=4e-3,
+        taus=(0.02, 0.008, 0.003, 0.0012),
+        optimize_fields=("theta", "phi", "fov"), loss_mode="grad",
+        grad_pool=2, full_res=(h, w), chunk=128)
+    rec_op, losses2 = recover_orbit_tris(
+        bad_scene, dataclasses.replace(cfg, backend="jax"), target, rec_op,
+        look_target, focal_length=fl, focal_blur=blur, steps=40,
+        learning_rate=6e-4, taus=(0.001, 0.0004),
+        optimize_fields=("theta", "phi", "fov"), loss_mode="grad",
+        grad_pool=2, full_res=(h, w), chunk=128)
+
+    dth1 = abs(float(rec_op.theta) - float(true_op.theta))
+    dph1 = abs(float(rec_op.phi) - float(true_op.phi))
+    dfv1 = abs(float(rec_op.fov) - float(true_op.fov))
+    assert dth1 < dth0 / 10, f"theta {np.rad2deg(dth0)} -> {np.rad2deg(dth1)}"
+    assert dph1 < dph0 / 10, f"phi {np.rad2deg(dph0)} -> {np.rad2deg(dph1)}"
+    assert dfv1 < dfv0 / 2, f"fov {dfv0} -> {dfv1}"
+
+    # No edge-downweighting here, deliberately: the tool's stage-4 mask
+    # exists because a ~1 px pose residual at 1920x1080 concentrates
+    # mismatch in silhouette bands.  At this 1/10 resolution the same
+    # angular residual is ~0.1 px (no bands), and the mask instead starves
+    # the 225-face subject's few interior pixels (measured: masked fit
+    # stalls at 0.05 on mat 0 / drifts the dielectric; unmasked reaches
+    # 0.01 on every material even 0.05 deg off-pose).
+    rec_camera = look_at_jnp(rec_op.to_camera_params(look_target, fl, blur))
+    params, plosses = fit_replay(
+        bad_scene, rec_camera, cfg1, target1, steps=32, rerecord_every=8,
+        learning_rate=5e-2)
+    err0 = float(jnp.abs(bad_alb - true_alb).max())
+    err1 = float(jnp.abs(params["scene"].mat_albedo - true_alb).max())
+    assert err1 < err0 / 5, f"albedo {err0} -> {err1}"
+
+
 def test_cube_orbit_recovery_from_exact_target():
     """Orbit-coordinate pose recovery (theta/phi/fov, radius pinned) on the
     cube against the exact renderer — the unit-scale config-5 camera
