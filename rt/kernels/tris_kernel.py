@@ -82,12 +82,12 @@ def _tile_rays(cam_ref, time, ti, tj, *, th: int, tw: int, height: int,
     return state, o, (d4[0], d4[1], d4[2]), d4[1]
 
 
-def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
-                  chunk: int, n_chunks: int, n_mats: int,
+def _trace_bounce(tri_ref, mat_ref, chunk_ref, sub_ref, order_ref, zero,
+                  carry, *, chunk: int, n_chunks: int, n_mats: int,
                   normalize_reflect_in: bool, has_metal: bool,
                   has_dielectric: bool, order_base=0, unroll: int = 1,
                   unroll_tree: bool = False, track_idx: bool = False,
-                  track_chunk: bool = False):
+                  track_chunk: bool = False, sub: int = 0):
     """One path-trace bounce over a tile of rays: front-to-back chunk-culled
     closest-hit scan, once-per-bounce material resolve, scatter.  Shared by
     the monolithic whole-frame kernel and the wavefront per-bounce kernel —
@@ -102,7 +102,23 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
     one compare+select per CHUNK (not per triangle, ~zero cost) — the
     byproduct coherence key for the wavefront sort (key_mode="chunk"):
     the next bounce's origin lies ON the winning chunk's surface, so the
-    id is an exact geometry-aligned spatial bin."""
+    id is an exact geometry-aligned spatial bin.
+
+    sub > 0: SECOND culling level inside live chunks (r5, large scenes).
+    Each ``sub`` Morton-consecutive triangles get their own AABB
+    (sub_ref); inside a live chunk every sub-box is slab-tested and its
+    scan cond-skipped when no lane enters with tmin < best.  EXACTLY
+    result-preserving (bit-identical, not just measure-zero-safe): any
+    improving hit t < best in a box satisfies tmin <= t, so a rejected
+    box cannot contain one, and the ascending visit order is unchanged
+    (exact-arithmetic fact; computed-slab-vs-computed-M-T rounding at
+    box-surface hits is the same residual the chunk-level cond always
+    carried, guarded by the bit-identity tests).
+    Measured (tools/analyze_r5.py, 256² production configs): dragon/lucy
+    live sub-8 boxes per live chunk are 2.5-3.3 of 4 at post-bounce
+    incoherence — a 1.2-1.45x scan-work cut; suzanne-class scenes see
+    ~3.0-3.4 of 4 live at much higher per-chunk lane liveness, so the
+    dispatch enables sub-culling for large scenes only."""
     state, o, d, atten, active = carry
     inv_d = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
     izero = jnp.zeros_like(active)
@@ -192,23 +208,23 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
             valid &= (t >= EPSILON_TRIS) & (t < bt)
             return valid, t
 
-        def do(best):
+        def scan_span(base, count, ur, best):
             # static trip count; the table is zero-padded to a chunk
             # multiple, so padding triangles are degenerate (det == 0).
-            # ``unroll`` scans several triangles per loop iteration in the
-            # same ascending order (bit-identical results) — more ILP for
-            # the VPU's issue slots between the serial best-t select chains.
+            # ``ur`` (unroll) scans several triangles per loop iteration in
+            # the same ascending order (bit-identical results) — more ILP
+            # for the VPU's issue slots between the serial best-t selects.
             def body(kk, b):
-                for uu in range(unroll):
-                    b = scan_tri(lo + kk * unroll + uu, b)
+                for uu in range(ur):
+                    b = scan_tri(base + kk * ur + uu, b)
                 return b
 
             def body_tree(kk, b):
-                base = lo + kk * unroll
-                cands = [tri_candidate(base + uu, b[0])
-                         for uu in range(unroll)]
+                kbase = base + kk * ur
+                cands = [tri_candidate(kbase + uu, b[0])
+                         for uu in range(ur)]
                 for uu, (valid, t) in enumerate(cands):
-                    k = base + uu
+                    k = kbase + uu
                     bt, bnrm, bmid = b[:3]
                     # t < bt_run subsumes the stale bound; predicates equal
                     # the sequential scan's exactly
@@ -223,9 +239,41 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
                     b = nb
                 return b
 
-            return jax.lax.fori_loop(0, chunk // unroll,
+            return jax.lax.fori_loop(0, count // ur,
                                      body_tree if unroll_tree else body,
                                      best)
+
+        def do(best):
+            if not sub:
+                return scan_span(lo, chunk, unroll, best)
+            # second-level culling: slab-test each sub-box of ``sub``
+            # triangles against the CURRENT best (it tightens between
+            # boxes) and cond-skip boxes no lane can improve in —
+            # conservative, ascending order kept, hence bit-identical
+            n_sub = chunk // sub
+            sbase = ci * n_sub
+
+            def sub_body(si, b):
+                r = sbase + si
+                s0x = (sub_ref[r, 0] - o[0]) * inv_d[0]
+                s1x = (sub_ref[r, 3] - o[0]) * inv_d[0]
+                s0y = (sub_ref[r, 1] - o[1]) * inv_d[1]
+                s1y = (sub_ref[r, 4] - o[1]) * inv_d[1]
+                s0z = (sub_ref[r, 2] - o[2]) * inv_d[2]
+                s1z = (sub_ref[r, 5] - o[2]) * inv_d[2]
+                smin = _fmax(_fmax(_fmin(s0x, s1x), _fmin(s0y, s1y)),
+                             _fmin(s0z, s1z))
+                smax = _fmin(_fmin(_fmax(s0x, s1x), _fmax(s0y, s1y)),
+                             _fmax(s0z, s1z))
+                live_s = (active > 0) & (smin <= smax) & (smax >= 0.0) \
+                    & (smin < b[0])
+                return jax.lax.cond(
+                    jnp.any(live_s),
+                    lambda bb: scan_span(lo + si * sub, sub,
+                                         min(unroll, sub), bb),
+                    lambda bb: bb, b)
+
+            return jax.lax.fori_loop(0, n_sub, sub_body, best)
 
         if track_chunk:
             core, wch = best[:-1], best[-1]
@@ -286,14 +334,15 @@ def _trace_bounce(tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, *,
     return out
 
 
-def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
-            row0_ref, out_ref, *,
+def _kernel(tri_ref, mat_ref, chunk_ref, sub_ref, order_ref, cam_ref,
+            time_ref, row0_ref, out_ref, *,
             m: int, n_chunks: int, chunk: int, n_mats: int, height: int,
             width: int,
             th: int, tw: int, bounces: int, normalize_defocus_dir: bool,
             normalize_reflect_in: bool, has_metal: bool = True,
             has_dielectric: bool = True, sky_from_final_dir: bool = False,
-            unroll: int = 1, unroll_tree: bool = False, spp: int = 1):
+            unroll: int = 1, unroll_tree: bool = False, spp: int = 1,
+            sub: int = 0):
     """Monolithic whole-frame kernel: raygen + all bounces in one launch."""
     state, o, d0, primary_dy = _tile_rays(
         cam_ref, time_ref[0, 0], pl.program_id(0), pl.program_id(1), th=th,
@@ -304,11 +353,11 @@ def _kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
     one = zero + 1.0
 
     trace1 = functools.partial(
-        _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
+        _trace_bounce, tri_ref, mat_ref, chunk_ref, sub_ref, order_ref, zero,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
-        unroll_tree=unroll_tree)
+        unroll_tree=unroll_tree, sub=sub)
 
     def bounce(_, carry):
         # whole-tile early exit: once every lane has escaped to the sky the
@@ -378,10 +427,14 @@ def _morton_order(centroids):
     return jnp.argsort(code, stable=True)
 
 
-def pack_tri_table(scene, chunk: int = CHUNK, split_big: bool = False):
+def pack_tri_table(scene, chunk: int = CHUNK, split_big: bool = False,
+                   sub: int = 8):
     """Build the (m_pad, 13) VMEM triangle table (Morton-clustered order,
     precomputed edges, per-triangle mat id), the (K, 5) SMEM material table
-    [albedo rgb, param, kind], and the (n_chunks, 6) chunk-AABB SMEM table.
+    [albedo rgb, param, kind], the (n_chunks, 6) chunk-AABB table, and the
+    (m_pad//sub, 6) SUB-box AABB table (``sub`` Morton-consecutive
+    triangles per box — the second culling level the large-scene kernels
+    cond-skip inside live chunks, r5).
 
     split_big: segregate oversized triangles (area > 16x median — scene
     enclosures like suzanne's room) into their own trailing chunks so they
@@ -435,14 +488,17 @@ def pack_tri_table(scene, chunk: int = CHUNK, split_big: bool = False):
     vmin = verts_min.reshape(-1, chunk, 3, 3).min(axis=(1, 2))
     vmax = verts_max.reshape(-1, chunk, 3, 3).max(axis=(1, 2))
     chunks = jnp.concatenate([vmin, vmax], axis=1).astype(jnp.float32)
-    return tab, mats, chunks, m_pad, chunks.shape[0]
+    smin = verts_min.reshape(-1, sub, 3, 3).min(axis=(1, 2))
+    smax = verts_max.reshape(-1, sub, 3, 3).max(axis=(1, 2))
+    subs = jnp.concatenate([smin, smax], axis=1).astype(jnp.float32)
+    return tab, mats, chunks, subs, m_pad, chunks.shape[0]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "height_pad", "width_pad", "bounces",
     "normalize_defocus_dir", "normalize_reflect_in", "th", "tw", "chunk",
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
-    "unroll_tree", "spp", "interpret"))
+    "unroll_tree", "spp", "interpret", "sub"))
 def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       height_pad: int, width_pad: int, bounces: int,
                       normalize_defocus_dir: bool, normalize_reflect_in: bool,
@@ -450,13 +506,14 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
                       has_metal: bool = True, has_dielectric: bool = True,
                       sky_from_final_dir: bool = False, unroll: int = 1,
                       unroll_tree: bool = False, spp: int = 1,
-                      row0=None, interpret: bool = False):
+                      row0=None, interpret: bool = False, sub: int = 0):
     """Planar (3, Hp, Wp) color for one frame of a TriangleScene.
 
     row0: optional global row offset (traced i32 scalar) — the launch then
     covers image rows [row0, row0 + height_pad) with bit-identical rays to
     the same rows of a full-frame launch (image-row DP sharding)."""
-    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    tab, mats, chunks, subs, m, n_chunks = pack_tri_table(
+        scene, chunk, sub=max(sub, 8))
     # approximate front-to-back chunk order from the camera eye (closest
     # chunk-AABB centroid first); ties/order only affect pruning, not the
     # closest-hit result (strict t < best)
@@ -472,7 +529,7 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         tw=tw, bounces=bounces, normalize_defocus_dir=normalize_defocus_dir,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, sky_from_final_dir=sky_from_final_dir,
-        unroll=unroll, unroll_tree=unroll_tree, spp=spp)
+        unroll=unroll, unroll_tree=unroll_tree, spp=spp, sub=sub)
     row0_arr = (jnp.zeros((1, 1), jnp.int32) if row0 is None
                 else jnp.asarray(row0, jnp.int32).reshape(1, 1))
     return pl.pallas_call(
@@ -485,6 +542,7 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # material table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk AABBs (VMEM:
             #   SMEM cannot hold large scenes — dragon has 1563 chunks)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sub-box AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
             pl.BlockSpec(memory_space=pltpu.SMEM),   # time
@@ -493,7 +551,7 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
         out_specs=pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tab, mats, chunks, order, cam_row, time, row0_arr)
+    )(tab, mats, chunks, subs, order, cam_row, time, row0_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -522,16 +580,16 @@ def render_color_tris(scene, cam_row, time, *, height: int, width: int,
 # ---------------------------------------------------------------------------
 
 
-def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
-                       time_ref, row0_ref, payf_ref, state_ref, active_ref,
-                       *rest,
+def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, sub_ref, order_ref,
+                       cam_ref, time_ref, row0_ref, payf_ref, state_ref,
+                       active_ref, *rest,
                        n_chunks: int, chunk: int, n_mats: int, height: int,
                        width: int, th: int, tw: int,
                        normalize_defocus_dir: bool,
                        normalize_reflect_in: bool, has_metal: bool,
                        has_dielectric: bool, unroll: int = 1,
                        unroll_tree: bool = False, track_idx: bool = False,
-                       track_chunk: bool = False):
+                       track_chunk: bool = False, sub: int = 0):
     """Raygen fused with bounce 0 (primary rays are already coherent in
     pixel order — no sort needed before the first bounce).  Outputs the ray
     payload: payf = [o(3), d(3), atten(3), primary_dy] planes.
@@ -552,12 +610,12 @@ def _wave_first_kernel(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref,
     one = zero + 1.0
     carry = (state, o, d, (one, one, one), jnp.ones((th, tw), jnp.int32))
     out = _trace_bounce(
-        tri_ref, mat_ref, chunk_ref, order_ref, zero, carry, chunk=chunk,
-        n_chunks=n_chunks, n_mats=n_mats,
+        tri_ref, mat_ref, chunk_ref, sub_ref, order_ref, zero, carry,
+        chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
         unroll_tree=unroll_tree, track_idx=track_idx,
-        track_chunk=track_chunk)
+        track_chunk=track_chunk, sub=sub)
     if track_chunk:
         *out, bwch = out
         rest[-1][...] = bwch
@@ -596,14 +654,15 @@ def _wave_raygen_kernel(cam_ref, time_ref, row0_ref, od_ref, pdy_ref,
     state_ref[...] = state
 
 
-def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
-                        state_ref, active_ref, opayf_ref, ostate_ref,
-                        oactive_ref, *rest, n_chunks: int, chunk: int,
-                        n_mats: int, th: int, tw: int, n_bounces: int,
+def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, sub_ref, order_ref,
+                        payf_ref, state_ref, active_ref, opayf_ref,
+                        ostate_ref, oactive_ref, *rest, n_chunks: int,
+                        chunk: int, n_mats: int, th: int, tw: int,
+                        n_bounces: int,
                         normalize_reflect_in: bool, has_metal: bool,
                         has_dielectric: bool, unroll: int = 1,
                         unroll_tree: bool = False, track_idx: bool = False,
-                        track_chunk: bool = False):
+                        track_chunk: bool = False, sub: int = 0):
     """n_bounces bounces over a tile of (sorted) rays — fusing 2 bounces
     per launch halves the sort + payload-roundtrip count at slightly
     staler coherence for the second bounce.
@@ -624,12 +683,12 @@ def _wave_bounce_kernel(tri_ref, mat_ref, chunk_ref, order_ref, payf_ref,
              active_ref[...])
 
     trace1 = functools.partial(
-        _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
+        _trace_bounce, tri_ref, mat_ref, chunk_ref, sub_ref, order_ref, zero,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, unroll=unroll,
         unroll_tree=unroll_tree, track_idx=track_idx,
-        track_chunk=track_chunk,
+        track_chunk=track_chunk, sub=sub,
         order_base=pl.program_id(0) * n_chunks)
 
     if track_idx:
@@ -735,7 +794,7 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
     "unroll_tree", "split_big", "interpret", "sort", "key_bits",
     "key_dir_bits", "key_dmajor", "sort_every", "spp", "sort_segments",
-    "key_mode"))
+    "key_mode", "sub"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -750,7 +809,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            key_dmajor: bool = False,
                            sort_every: int = 1, spp: int = 1,
                            sort_segments: int = 1, key_mode: str = "morton",
-                           row0=None):
+                           row0=None, sub: int = 0):
     """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
 
     row0: optional global row offset (traced i32 scalar) for image-row DP
@@ -780,9 +839,13 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
     direction octant (_ray_sort_key); "chunk" = the previous bounce's
     WINNING CHUNK id (tracked in-kernel at one select per chunk — the
     zero-cost byproduct key from docs/DESIGN_binning.md); "chunk_oct" =
-    chunk id with the direction octant in the low 3 bits."""
-    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk,
-                                                    split_big=split_big)
+    chunk id with the direction octant in the low 3 bits.
+
+    sub: 0 = chunk-level culling only; 8/16 = second-level sub-box
+    cond-skip inside live chunks (bit-identical — see _trace_bounce),
+    the large-scene default (dispatch.wave_params)."""
+    tab, mats, chunks, subs, m, n_chunks = pack_tri_table(
+        scene, chunk, split_big=split_big, sub=max(sub, 8))
     row0_arr = (jnp.zeros((1, 1), jnp.int32) if row0 is None
                 else jnp.asarray(row0, jnp.int32).reshape(1, 1))
     eye = cam_row[0, 0:3]
@@ -796,7 +859,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                   normalize_reflect_in=normalize_reflect_in,
                   has_metal=has_metal, has_dielectric=has_dielectric,
                   unroll=unroll, unroll_tree=unroll_tree,
-                  track_chunk=track_chunk)
+                  track_chunk=track_chunk, sub=sub)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -834,16 +897,16 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
             kernel,
             out_shape=out_shape,
             grid=(rows // th,),
-            in_specs=[vmem, smem, vmem,
+            in_specs=[vmem, smem, vmem, vmem,
                       # per-TILE chunk visit order: flattened
                       # (n_tiles*n_chunks, 1) column in VMEM; each grid step
                       # reads its own segment at program_id * n_chunks
                       vmem,
                       *ray_specs],
             out_specs=out_specs,
-            # donate the ray payload: inputs 4/5/6 (pay, state, active)
+            # donate the ray payload: inputs 5/6/7 (pay, state, active)
             # update in place as outputs 0/1/2
-            input_output_aliases={4: 0, 5: 1, 6: 2},
+            input_output_aliases={5: 0, 6: 1, 7: 2},
             interpret=interpret)(*operands)
 
     def stream_key(pay, active, wch):
@@ -886,7 +949,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
             tile_order = jnp.argsort(tdist, axis=1).astype(
                 jnp.int32).reshape(-1, 1)            # (n_tiles*n_chunks, 1)
             outs = bounce_call(
-                nb, tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
+                nb, tab, mats, chunks, subs, tile_order,
+                pay.reshape(9, rows, tw),
                 state.reshape(rows, tw), active.reshape(rows, tw))
             pay = outs[0].reshape(9, n)
             state = outs[1].reshape(n)
@@ -935,10 +999,10 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
             first,
             out_shape=out_shape,
             grid=(n_frames, nh, width_pad // tw),
-            in_specs=[vmem, smem, vmem, vmem, smem, smem, smem],
+            in_specs=[vmem, smem, vmem, vmem, vmem, smem, smem, smem],
             out_specs=out_specs,
             interpret=interpret,
-        )(tab, mats, chunks, order, cam_row, time, row0_arr)
+        )(tab, mats, chunks, subs, order, cam_row, time, row0_arr)
         payf, state, active = outs[0], outs[1], outs[2]
         wch = outs[3].reshape(n) if track_chunk else None
 
@@ -1050,7 +1114,7 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
     render_color_tris_wave(..., sort_every=1) — same `_trace_bounce`
     arithmetic; track_idx only adds selects on the extra index plane
     (asserted in tests/test_replay.py)."""
-    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    tab, mats, chunks, subs, m, n_chunks = pack_tri_table(scene, chunk)
     morton = _morton_order((scene.a + scene.b + scene.c) / 3.0)
     eye = cam_row[0, 0:3]
     centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
@@ -1078,7 +1142,7 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
                    jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32),
                    jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32)),
         grid=(1, nh, width_pad // tw),
-        in_specs=[vmem, smem, vmem, vmem, smem, smem, smem],
+        in_specs=[vmem, smem, vmem, vmem, vmem, smem, smem, smem],
         out_specs=(pl.BlockSpec((10, th, tw),
                                 lambda f, i, j: (0, f * nh + i, j),
                                 memory_space=pltpu.VMEM),
@@ -1089,7 +1153,7 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
                    pl.BlockSpec((th, tw), lambda f, i, j: (f * nh + i, j),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(tab, mats, chunks, order, cam_row, time,
+    )(tab, mats, chunks, subs, order, cam_row, time,
       jnp.zeros((1, 1), jnp.int32))
 
     n = height_pad * width_pad
@@ -1143,11 +1207,12 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
                        jax.ShapeDtypeStruct((rows, tw), jnp.int32),
                        jax.ShapeDtypeStruct((1, rows, tw), jnp.int32)),
             grid=(rows // th,),
-            in_specs=[vmem, smem, vmem, vmem, *ray_specs],
+            in_specs=[vmem, smem, vmem, vmem, vmem, *ray_specs],
             out_specs=(*ray_specs, idx_spec),
-            input_output_aliases={4: 0, 5: 1, 6: 2},
+            input_output_aliases={5: 0, 6: 1, 7: 2},
             interpret=interpret)(
-                tab, mats, chunks, tile_order, pay.reshape(9, rows, tw),
+                tab, mats, chunks, subs, tile_order,
+                pay.reshape(9, rows, tw),
                 state.reshape(rows, tw), active.reshape(rows, tw))
         pay = payp.reshape(9, n)
         state = state2.reshape(n)
@@ -1167,8 +1232,8 @@ def render_color_tris_wave_record(scene, cam_row, time, *, height: int,
             morton.astype(jnp.int32))
 
 
-def _kernel_record(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
-                   out_ref, idx_ref, *,
+def _kernel_record(tri_ref, mat_ref, chunk_ref, sub_ref, order_ref, cam_ref,
+                   time_ref, out_ref, idx_ref, *,
                    m: int, n_chunks: int, chunk: int, n_mats: int,
                    height: int, width: int, th: int, tw: int, bounces: int,
                    normalize_defocus_dir: bool, normalize_reflect_in: bool,
@@ -1188,7 +1253,7 @@ def _kernel_record(tri_ref, mat_ref, chunk_ref, order_ref, cam_ref, time_ref,
     carry = (state, o, d, (one, one, one), jnp.ones((th, tw), jnp.int32))
 
     trace1 = functools.partial(
-        _trace_bounce, tri_ref, mat_ref, chunk_ref, order_ref, zero,
+        _trace_bounce, tri_ref, mat_ref, chunk_ref, sub_ref, order_ref, zero,
         chunk=chunk, n_chunks=n_chunks, n_mats=n_mats,
         normalize_reflect_in=normalize_reflect_in, has_metal=has_metal,
         has_dielectric=has_dielectric, track_idx=True)
@@ -1223,7 +1288,7 @@ def render_color_tris_record(scene, cam_row, time, *, height: int,
     order (m,) i32) — forward render plus the per-bounce winning triangle
     index stream (in Morton-clustered TABLE order; the returned ``order``
     array maps table rows back to scene triangle ids for the replay)."""
-    tab, mats, chunks, m, n_chunks = pack_tri_table(scene, chunk)
+    tab, mats, chunks, subs, m, n_chunks = pack_tri_table(scene, chunk)
     morton = _morton_order((scene.a + scene.b + scene.c) / 3.0)
     eye = cam_row[0, 0:3]
     centroid = (chunks[:, 0:3] + chunks[:, 3:6]) * 0.5
@@ -1247,6 +1312,7 @@ def render_color_tris_record(scene, cam_row, time, *, height: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),   # material table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sub-box AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
             pl.BlockSpec(memory_space=pltpu.SMEM),   # time
@@ -1256,5 +1322,5 @@ def render_color_tris_record(scene, cam_row, time, *, height: int,
                    pl.BlockSpec((bounces, th, tw), lambda i, j: (0, i, j),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(tab, mats, chunks, order, cam_row, time)
+    )(tab, mats, chunks, subs, order, cam_row, time)
     return color, idx, morton.astype(jnp.int32)

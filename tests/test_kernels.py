@@ -296,3 +296,29 @@ def test_unroll_variants_bit_identical(kw):
     b = np.asarray(render_color_tris_wave(sd.scene, cam_row, t, **common,
                                           **kw))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("sub", [8, 16])
+def test_sub_culling_bit_identical(sub):
+    """In-chunk sub-AABB culling (r5 large-scene lever) only rejects boxes
+    no lane can improve in, in unchanged ascending order — bit-identical to
+    the plain chunk scan on both triangle backends.  Compared as u32 bit
+    patterns: padding regions hold NaNs, and NaN != NaN would mask a true
+    bitwise match."""
+    from rt.kernels.dispatch import pack_camera
+    from rt.kernels.tris_kernel import (render_color_tris,
+                                        render_color_tris_wave)
+    sd = scenes.scene_suzanne(64, 32)
+    cam_row = pack_camera(sd.camera)
+    t = jnp.uint32(1000).reshape(1, 1)
+    common = dict(height=32, width=64, height_pad=32, width_pad=256,
+                  bounces=3, normalize_defocus_dir=True,
+                  normalize_reflect_in=False, th=32, tw=256, chunk=32,
+                  unroll=4, interpret=True)
+    bits = lambda x: np.asarray(x).view(np.uint32)
+    a = render_color_tris_wave(sd.scene, cam_row, t, **common)
+    b = render_color_tris_wave(sd.scene, cam_row, t, sub=sub, **common)
+    np.testing.assert_array_equal(bits(a), bits(b))
+    ma = render_color_tris(sd.scene, cam_row, t, **common)
+    mb = render_color_tris(sd.scene, cam_row, t, sub=sub, **common)
+    np.testing.assert_array_equal(bits(ma), bits(mb))
