@@ -914,11 +914,20 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
             return _ray_sort_key(pay[0:3], pay[3:6], lo, inv_span, active,
                                  bits=key_bits, dir_bits=key_dir_bits,
                                  dmajor=key_dmajor)
-        key = wch.astype(jnp.uint32) << 3
-        if key_mode == "chunk_oct":
-            key = key | (((pay[3] > 0).astype(jnp.uint32) << 2)
-                         | ((pay[4] > 0).astype(jnp.uint32) << 1)
-                         | (pay[5] > 0).astype(jnp.uint32))
+        if key_mode == "chunk_oct2":
+            # 2 direction bits/axis below the winning-chunk id: rays on the
+            # same surface chunk subdivide by outgoing direction QUADRANT,
+            # tightening the next bounce's tile frusta beyond the octant
+            qd = [jnp.clip((pay[3 + c] + 1.0) * 2.0, 0.0,
+                           3.0).astype(jnp.uint32) for c in range(3)]
+            key = (wch.astype(jnp.uint32) << 6) \
+                | (qd[0] << 4) | (qd[1] << 2) | qd[2]
+        else:
+            key = wch.astype(jnp.uint32) << 3
+            if key_mode == "chunk_oct":
+                key = key | (((pay[3] > 0).astype(jnp.uint32) << 2)
+                             | ((pay[4] > 0).astype(jnp.uint32) << 1)
+                             | (pay[5] > 0).astype(jnp.uint32))
         return jnp.where(active > 0, key, jnp.uint32(0xFFFFFFFF))
 
     def stream_bounces(pay, state, active, pix, pdy, wch, b_start):
