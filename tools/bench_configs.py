@@ -88,6 +88,14 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--out", default="BENCH_CONFIGS.json")
+    p.add_argument("--configs", default="1,2,3,4,5",
+                   help="subset to run; with --merge-into, the chosen "
+                        "configs' rows replace same-name rows in the "
+                        "existing artifact (per-config process isolation: "
+                        "back-to-back large compiles in ONE process can "
+                        "crash the axon TPU worker — r5, reproduced twice "
+                        "at config 3 while each config alone passes)")
+    p.add_argument("--merge-into", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -95,30 +103,45 @@ def main(argv=None):
     from rt.scene import scenes
 
     q = args.quick
-    print(f"platform={jax.devices()[0].platform}", file=sys.stderr,
-          flush=True)
+    want = {int(v) for v in args.configs.split(",")}
+    print(f"platform={jax.devices()[0].platform} configs={sorted(want)}",
+          file=sys.stderr, flush=True)
     results = []
-    results.append(bench_forward(
-        scenes.scene_rtiow_one_sphere(), spp=16, bounces=4,
-        frames=8 if q else 64, label="config1_one_sphere"))
-    results.append(bench_forward(
-        scenes.scene_rtiow_three_spheres(), spp=64, bounces=10,
-        frames=2 if q else 16, label="config2_three_spheres"))
+    if 1 in want:
+        results.append(bench_forward(
+            scenes.scene_rtiow_one_sphere(), spp=16, bounces=4,
+            frames=8 if q else 64, label="config1_one_sphere"))
+    if 2 in want:
+        results.append(bench_forward(
+            scenes.scene_rtiow_three_spheres(), spp=64, bounces=10,
+            frames=2 if q else 16, label="config2_three_spheres"))
     # configs 3-4: F=16 frames per compiled call — at frames_per_call=1 the
     # r3 artifact ate the ~26 ms dispatch floor per measurement and
     # understated the shipped code (VERDICT r3 Missing #3)
-    results.append(bench_forward(
-        scenes.scene_sphere_cover(), spp=8 if q else 128, bounces=10,
-        frames=2 if q else 16, label="config3_cover"))
-    results.append(bench_forward(
-        scenes.scene_suzanne(1280, 720), spp=8 if q else 128, bounces=5,
-        frames=2 if q else 16, label="config4_suzanne"))
-    results.append(bench_config5(steps=8 if q else 24,
-                                 rerecord_every=8))
+    if 3 in want:
+        results.append(bench_forward(
+            scenes.scene_sphere_cover(), spp=8 if q else 128, bounces=10,
+            frames=2 if q else 16, label="config3_cover"))
+    if 4 in want:
+        results.append(bench_forward(
+            scenes.scene_suzanne(1280, 720), spp=8 if q else 128, bounces=5,
+            frames=2 if q else 16, label="config4_suzanne"))
+    if 5 in want:
+        results.append(bench_config5(steps=8 if q else 24,
+                                     rerecord_every=8))
 
     out = {"n_devices": len(jax.devices()),
            "platform": jax.devices()[0].platform,
            "results": results}
+    if args.merge_into:
+        import os
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                old = json.load(f)
+            new_names = {r["config"] for r in results}
+            out["results"] = [r for r in old["results"]
+                              if r["config"] not in new_names] + results
+            out["results"].sort(key=lambda r: r["config"])
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}", file=sys.stderr, flush=True)
