@@ -115,17 +115,21 @@ def main(argv=None):
         results.append(bench_forward(
             scenes.scene_rtiow_three_spheres(), spp=64, bounces=10,
             frames=2 if q else 16, label="config2_three_spheres"))
-    # configs 3-4: F=16 frames per compiled call — at frames_per_call=1 the
+    # configs 3-4: F=4 frames per compiled call — at frames_per_call=1 the
     # r3 artifact ate the ~26 ms dispatch floor per measurement and
-    # understated the shipped code (VERDICT r3 Missing #3)
+    # understated the shipped code (VERDICT r3 Missing #3); F=16 at spp=128
+    # makes a single compiled call run 75-95 s of device time, which the
+    # axon worker does not survive (r5: worker crashed at configs 3/4 even
+    # in isolated processes; F=4 keeps calls ~20-25 s and the dispatch
+    # floor amortized to <0.2%)
     if 3 in want:
         results.append(bench_forward(
             scenes.scene_sphere_cover(), spp=8 if q else 128, bounces=10,
-            frames=2 if q else 16, label="config3_cover"))
+            frames=2 if q else 4, label="config3_cover"))
     if 4 in want:
         results.append(bench_forward(
             scenes.scene_suzanne(1280, 720), spp=8 if q else 128, bounces=5,
-            frames=2 if q else 16, label="config4_suzanne"))
+            frames=2 if q else 4, label="config4_suzanne"))
     if 5 in want:
         results.append(bench_config5(steps=8 if q else 24,
                                      rerecord_every=8))
