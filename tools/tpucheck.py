@@ -23,6 +23,11 @@ Checks:
     the reference's golden harness tests/rendering_tests.rs:14-49 never
     covers) — so a compiled-kernel regression that flips wave AND mono
     identically can no longer pass the relative wave==mono gate alone.
+ 6. TRIANGLE recorder on-chip: the wavefront recording forward's color
+    plane vs the wave render at the same sort schedule (track_idx only
+    adds index-plane selects; separate Mosaic programs, so the 1-ULP
+    contraction band applies — measured max 6e-8), plus bounce-0 hit
+    fraction sanity.
 
 Usage: python tools/tpucheck.py [--out TPUCHECK_r05.json]
 """
@@ -211,6 +216,44 @@ def main(argv=None):
     print(f"5. compiled tris vs own golden (suzanne 128^2 x8f): "
           f"wave {pcts['pallas']:.4f}%, mono {pcts['pallas_mono']:.4f}% "
           f"-> {'PASS' if c5['pass'] else 'FAIL'} (bound 0.2%)", flush=True)
+
+    # ---- 6. triangle wave recorder == wave render (1-ULP) -----------------
+    from rt.kernels.dispatch import wave_params
+    from rt.kernels.tris_kernel import (render_color_tris_wave,
+                                        render_color_tris_wave_record)
+    sd = scenes.scene_suzanne(128, 128)
+    cfg = dataclasses.replace(sd.config, bounces=4)
+    kw = wave_params(sd.scene, cfg)
+    # the recorder sorts every bounce with the morton key — compare the
+    # render at the identical schedule/key (bit-identical in interpret
+    # mode, tests/test_replay.py)
+    kw.update(sort_every=1, key_mode="morton")
+    cam_row = pack_camera(sd.camera)
+    h = w = 128
+    hp = _round_up(h, kw["th"])
+    wp = _round_up(w, kw["tw"])
+    t11 = jnp.uint32(1000).reshape(1, 1)
+    rc6 = np.asarray(render_color_tris_wave(
+        sd.scene, cam_row, t11, height=h, width=w, height_pad=hp,
+        width_pad=wp, **kw)[0])
+    kw6 = {k: v for k, v in kw.items()
+           if k not in ("sort_every", "key_mode", "split_big", "spp")}
+    col6, idx6, _ = render_color_tris_wave_record(
+        sd.scene, cam_row, jnp.uint32(1000), height=h, width=w,
+        height_pad=hp, width_pad=wp, **kw6)
+    col6 = np.asarray(col6)
+    md6 = float(np.abs(col6 - rc6).max())
+    nd6 = int((col6 != rc6).sum())
+    hit6 = float((np.asarray(idx6[0]) >= 0).mean())
+    c6 = {"bitwise_equal": nd6 == 0, "n_diff": nd6, "max_abs_diff": md6,
+          "bounce0_hit_frac": hit6,
+          "pass": md6 <= 2e-7 and 0.2 < hit6 <= 1.0}
+    results["checks"]["tris_wave_record_equals_render_128"] = c6
+    ok_all &= c6["pass"]
+    print(f"6. tris wave record==render 128^2 b4: "
+          f"{'BITWISE EQUAL' if nd6 == 0 else f'{nd6} diffs, max {md6:.2e}'}"
+          f", hit frac b0 {hit6:.3f} -> {'PASS' if c6['pass'] else 'FAIL'}",
+          flush=True)
 
     results["pass"] = bool(ok_all)
     with open(args.out, "w") as f:
