@@ -52,4 +52,5 @@ def test_two_process_row_sharded_parity():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
         assert f"rank {i} OK" in out, f"rank {i} output:\n{out[-3000:]}"
+        assert f"rank {i} wave OK" in out, f"rank {i} output:\n{out[-3000:]}"
         assert f"rank {i} scaling mechanism OK" in out, out[-3000:]
