@@ -48,6 +48,24 @@ def main():
     print("image sharding:", state.image.sharding)
     img = gather_image(state)
     write_ppm("/tmp/distributed.ppm", img)
+
+    # ---- the PRODUCTION triangle path under the same DP sharding --------
+    # shard_map runs the COMPLETE wavefront pipeline (raygen, per-bounce
+    # Pallas kernels, coherence sorts, pixel-order restore) on each chip's
+    # row band — zero per-frame collectives (rt/dist/wave.py).  interpret
+    # mode makes this runnable on CPU devices; on a TPU slice drop it.
+    from rt.dist.wave import sharded_wave_frames
+
+    tsd = scenes.scene_cube(256, 8 * n)
+    tcfg = dataclasses.replace(tsd.config, bounces=3, backend="pallas")
+    interpret = devices[0].platform != "tpu"
+    frames = sharded_wave_frames(mesh, interpret=interpret)
+    wstate = shard_state(init_state(tcfg), mesh)
+    wstate = frames(shard_scene(tsd.scene, mesh),
+                    shard_scene(tsd.camera, mesh),
+                    wstate, np.uint32(1000), np.uint32(10), tcfg, 4)
+    print("wave image sharding:", wstate.image.sharding)
+    write_ppm("/tmp/distributed_wave.ppm", gather_image(wstate))
     print(f"wrote /tmp/distributed.ppm ({img.shape[1]}x{img.shape[0]}, "
           f"{int(state.frame_count)} frames)")
 
