@@ -181,6 +181,17 @@ def wave_params(scene, config: RenderConfig) -> dict:
         # roundtrips); every bounce for large ones (fresher coherence wins
         # when the chunk-union dominates) — PERF.md
         sort_every=1 if large else 2,
+        # r5b: the re-sort before a short REMAINDER final launch costs a
+        # full 12-operand stream sort (~1.5 ms at 262K — the comparator
+        # network dominates, tools/exp_r5_overhead.py raw-sort table) but
+        # benefits fewer bounces than every other sort in the schedule:
+        # skipping it measured +5.7% on suzanne 512² b8 on top of lean
+        # (17.43 -> 16.49 ms/f).  The knob is self-limiting (no-op unless
+        # the final launch is < sort_every bounces): removing one of only
+        # two sorts at 720p b5 measured -16%, and denser schedules
+        # (sort_every 3/4 with the skip) are -6%/-38% — coherence is
+        # load-bearing, only the remainder sort is not.
+        skip_last_sort=True,
         split_big=large,
         th=min(16 if large else 32, _round_up(h, 8)),
         tw=min(256, _round_up(w, 128)),

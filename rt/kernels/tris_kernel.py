@@ -794,7 +794,7 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
     "unroll_tree", "split_big", "interpret", "sort", "key_bits",
     "key_dir_bits", "key_dmajor", "sort_every", "spp", "sort_segments",
-    "key_mode", "sub"))
+    "key_mode", "sub", "lean", "skip_last_sort"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -809,7 +809,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            key_dmajor: bool = False,
                            sort_every: int = 1, spp: int = 1,
                            sort_segments: int = 1, key_mode: str = "morton",
-                           row0=None, sub: int = 0):
+                           row0=None, sub: int = 0, lean: bool = True,
+                           skip_last_sort: bool = False):
     """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
 
     row0: optional global row offset (traced i32 scalar) for image-row DP
@@ -843,7 +844,24 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
 
     sub: 0 = chunk-level culling only; 8/16 = second-level sub-box
     cond-skip inside live chunks (bit-identical — see _trace_bounce),
-    the large-scene default (dispatch.wave_params)."""
+    the large-scene default (dispatch.wave_params).
+
+    lean (default): drop the two redundant coherence-sort operands
+    (`active`, which is rebuilt from the sorted key, and `pdy`, which is
+    applied after the pixel-order restore instead) — 12 operands per sort
+    instead of 14, BIT-IDENTICAL output by construction (see
+    stream_bounces; asserted by test_lean_sort_bit_identical).  Measured
+    +3.3% on suzanne 512² b8 (tools/exp_r5_overhead.py); lean=False keeps
+    the r4 14-operand payload for A/B.
+
+    skip_last_sort: skip the re-sort before the final bounce launch WHEN
+    that launch is a short remainder (< sort_every bounces) — the sort
+    costs a full stream sort but benefits fewer bounces than every other
+    sort in the schedule.  Self-limiting: at `sort_every=1` or when the
+    final launch is full-length the knob is a no-op (removing one of two
+    sorts at 720p b5 measured -16% — tools/exp_r5_overhead.py).  Changes
+    only tile regrouping — same measure-zero exact-t tie caveat as
+    sorting itself."""
     tab, mats, chunks, subs, m, n_chunks = pack_tri_table(
         scene, chunk, split_big=split_big, sub=max(sub, 8))
     row0_arr = (jnp.zeros((1, 1), jnp.int32) if row0 is None
@@ -936,17 +954,36 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         primary rays are already pixel-coherent)."""
         for b in range(b_start, bounces, sort_every):
             nb = min(sort_every, bounces - b)
-            if sort and b > 0:
+            if sort and b > 0 and not (skip_last_sort
+                                       and b + sort_every >= bounces
+                                       and bounces - b < sort_every):
                 # ONE variadic sort moves the whole payload with the key —
                 # measured ~10x cheaper than argsort + per-array gathers
                 # (XLA TPU gathers at element granularity are the bottleneck)
                 key = stream_key(pay, active, wch)
-                ops = _seg_sort(
-                    (key, *(pay[i] for i in range(9)), state, active, pix,
-                     pdy),
-                    seg)
-                pay = jnp.stack(ops[1:10])
-                state, active, pix, pdy = ops[10:14]
+                if lean:
+                    # lean payload: `active` is redundant with the key
+                    # (0xFFFFFFFF iff dead — every key_mode; live morton
+                    # keys use <=30 bits, live chunk keys <= n_chunks<<6),
+                    # so it is rebuilt from the sorted key instead of
+                    # riding the sort; `pdy` never rides at all — the sky
+                    # factor is applied AFTER the pixel-order restore from
+                    # the pixel-ordered primary plane (elementwise ops
+                    # commute with permutations bit-exactly).  12 operands
+                    # instead of 14 per coherence sort.
+                    ops = _seg_sort(
+                        (key, *(pay[i] for i in range(9)), state, pix), seg)
+                    pay = jnp.stack(ops[1:10])
+                    state, pix = ops[10], ops[11]
+                    active = (ops[0] != jnp.uint32(0xFFFFFFFF)).astype(
+                        jnp.int32)
+                else:
+                    ops = _seg_sort(
+                        (key, *(pay[i] for i in range(9)), state, active,
+                         pix, pdy),
+                        seg)
+                    pay = jnp.stack(ops[1:10])
+                    state, active, pix, pdy = ops[10:14]
             # per-tile front-to-back chunk order from each tile's mean ray
             # origin — secondary tiles sit anywhere in the scene, so the
             # camera-based global order would defeat the `tmin < best_t`
@@ -972,9 +1009,6 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         # color = atten * sky(primary dy) (tc.sky_times_atten, elementwise);
         # sky_from_final_dir (extension) reads the final direction's y from
         # the payload instead of the carried primary dy.
-        atten = (pay[6], pay[7], pay[8])
-        col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy,
-                                 atten)
         # pix is a permutation of arange(n): ONE variadic sort keyed on it
         # restores pixel order BIT-IDENTICALLY to the scatter it replaces
         # (unique keys — stability is moot) at ~half the cost: TPU element
@@ -982,6 +1016,21 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         # keys, 7.0 vs 4.3 ms at 262K (tools/exp_scatter_sort.py).
         # Segment-local restore is exact: each segment holds its own
         # contiguous pix block (see _seg_sort).
+        if lean:
+            # `pdy` here is the PIXEL-ORDERED primary plane (it never rode
+            # the coherence sorts): restore atten (and the final dir's y
+            # when sky_from_final_dir) first, multiply by sky afterwards —
+            # bit-identical, elementwise ops commute with permutations.
+            planes = (pay[6], pay[7], pay[8]) + (
+                (pay[4],) if sky_from_final_dir else ())
+            ops = _seg_sort((pix, *planes), seg)
+            col = tc.sky_times_atten(
+                ops[4] if sky_from_final_dir else pdy,
+                (ops[1], ops[2], ops[3]))
+            return jnp.stack(col)                        # (3, n)
+        atten = (pay[6], pay[7], pay[8])
+        col = tc.sky_times_atten(pay[4] if sky_from_final_dir else pdy,
+                                 atten)
         ops = _seg_sort((pix, *col), seg)
         return jnp.stack(ops[1:4])                       # (3, n)
 

@@ -322,3 +322,31 @@ def test_sub_culling_bit_identical(sub):
     ma = render_color_tris(sd.scene, cam_row, t, **common)
     mb = render_color_tris(sd.scene, cam_row, t, sub=sub, **common)
     np.testing.assert_array_equal(bits(ma), bits(mb))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(key_mode="chunk_oct", sort_every=2),
+    dict(key_mode="morton", sort_every=1),
+    dict(key_mode="chunk_oct", sort_every=2, spp=2),
+    dict(key_mode="chunk_oct", sort_every=1, sky_from_final_dir=True),
+])
+def test_lean_sort_bit_identical(kw):
+    """The lean coherence-sort payload (r5b) drops the two redundant
+    operands — `active` is rebuilt from the sorted key (0xFFFFFFFF iff
+    dead, every key_mode), and the sky factor is applied after the
+    pixel-order restore (elementwise ops commute with permutations) —
+    so the rendered planes are BIT-IDENTICAL to the full 14-operand
+    payload.  Compared as u32 bit patterns (padding holds NaNs)."""
+    from rt.kernels.dispatch import pack_camera
+    from rt.kernels.tris_kernel import render_color_tris_wave
+    sd = scenes.scene_suzanne(64, 32)
+    cam_row = pack_camera(sd.camera)
+    t = jnp.uint32(1000).reshape(1, 1)
+    common = dict(height=32, width=64, height_pad=32, width_pad=256,
+                  bounces=4, normalize_defocus_dir=True,
+                  normalize_reflect_in=False, th=8, tw=256, chunk=32,
+                  unroll=4, interpret=True, **kw)
+    bits = lambda x: np.asarray(x).view(np.uint32)
+    a = render_color_tris_wave(sd.scene, cam_row, t, lean=False, **common)
+    b = render_color_tris_wave(sd.scene, cam_row, t, lean=True, **common)
+    np.testing.assert_array_equal(bits(a), bits(b))

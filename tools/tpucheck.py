@@ -227,7 +227,9 @@ def main(argv=None):
     # the recorder sorts every bounce with the morton key — compare the
     # render at the identical schedule/key (bit-identical in interpret
     # mode, tests/test_replay.py)
-    kw.update(sort_every=1, key_mode="morton")
+    # skip_last_sort=False: the recorder sorts before EVERY bounce, so the
+    # render must too for the schedules to match launch-for-launch
+    kw.update(sort_every=1, key_mode="morton", skip_last_sort=False)
     cam_row = pack_camera(sd.camera)
     h = w = 128
     hp = _round_up(h, kw["th"])
@@ -237,7 +239,8 @@ def main(argv=None):
         sd.scene, cam_row, t11, height=h, width=w, height_pad=hp,
         width_pad=wp, **kw)[0])
     kw6 = {k: v for k, v in kw.items()
-           if k not in ("sort_every", "key_mode", "split_big", "spp")}
+           if k not in ("sort_every", "key_mode", "split_big", "spp",
+                        "skip_last_sort")}
     col6, idx6, _ = render_color_tris_wave_record(
         sd.scene, cam_row, jnp.uint32(1000), height=h, width=w,
         height_pad=hp, width_pad=wp, **kw6)
