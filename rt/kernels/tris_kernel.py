@@ -794,7 +794,7 @@ def _ray_sort_key(o, d, lo, inv_span, active, *, bits: int = 8,
     "has_metal", "has_dielectric", "sky_from_final_dir", "unroll",
     "unroll_tree", "split_big", "interpret", "sort", "key_bits",
     "key_dir_bits", "key_dmajor", "sort_every", "spp", "sort_segments",
-    "key_mode", "sub", "lean", "skip_last_sort"))
+    "key_mode", "sub", "lean", "skip_last_sort", "solo_bounce0"))
 def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            height_pad: int, width_pad: int, bounces: int,
                            normalize_defocus_dir: bool,
@@ -810,7 +810,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                            sort_every: int = 1, spp: int = 1,
                            sort_segments: int = 1, key_mode: str = "morton",
                            row0=None, sub: int = 0, lean: bool = True,
-                           skip_last_sort: bool = False):
+                           skip_last_sort: bool = False,
+                           solo_bounce0: bool = False):
     """Planar (F, 3, Hp, Wp) colors for F frames — wavefront variant.
 
     row0: optional global row offset (traced i32 scalar) for image-row DP
@@ -948,12 +949,14 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
                              | (pay[5] > 0).astype(jnp.uint32))
         return jnp.where(active > 0, key, jnp.uint32(0xFFFFFFFF))
 
-    def stream_bounces(pay, state, active, pix, pdy, wch, b_start):
-        """Bounces b_start..bounces-1 over the ray stream, re-sorting every
+    def stream_bounces(pay, state, active, pix, pdy, wch, b_start,
+                       b_end=None):
+        """Bounces b_start..b_end-1 over the ray stream, re-sorting every
         ``sort_every`` launches (never before b_start itself when it's 0 —
         primary rays are already pixel-coherent)."""
-        for b in range(b_start, bounces, sort_every):
-            nb = min(sort_every, bounces - b)
+        b_stop = bounces if b_end is None else b_end
+        for b in range(b_start, b_stop, sort_every):
+            nb = min(sort_every, b_stop - b)
             if sort and b > 0 and not (skip_last_sort
                                        and b + sort_every >= bounces
                                        and bounces - b < sort_every):
@@ -1003,7 +1006,7 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
             active = outs[2].reshape(n)
             if track_chunk:
                 wch = outs[3].reshape(n)
-        return pay, state, active, pix, pdy
+        return pay, state, active, pix, pdy, wch
 
     def stream_color(pay, pix, pdy):
         # color = atten * sky(primary dy) (tc.sky_times_atten, elementwise);
@@ -1069,8 +1072,8 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         state = state.reshape(n)
         active = active.reshape(n)
         pix = jnp.arange(n, dtype=jnp.int32)
-        pay, state, active, pix, pdy = stream_bounces(pay, state, active,
-                                                      pix, pdy, wch, 1)
+        pay, state, active, pix, pdy, _ = stream_bounces(pay, state, active,
+                                                         pix, pdy, wch, 1)
         img = stream_color(pay, pix, pdy)
         img = img.reshape(3, n_frames, height_pad, width_pad)
         return jnp.moveaxis(img, 1, 0)                   # (F, 3, Hp, Wp)
@@ -1109,8 +1112,21 @@ def render_color_tris_wave(scene, cam_row, time, *, height: int, width: int,
         state_px, acc = carry
         pay = jnp.concatenate([od, ones3])
         active = jnp.ones((n,), jnp.int32)
-        pay, state, active, pix, pdy = stream_bounces(pay, state_px, active,
-                                                      pix0, pdy0, None, 0)
+        if solo_bounce0:
+            # phase-shift the per-sample schedule to [1, sort_every, ...]:
+            # bounce 0 launches ALONE on the pixel-coherent primary rays,
+            # so the first coherence sort lands right after the first
+            # scatter — the same phase the spp=1 path gets from its fused
+            # first kernel.  [2,2,1]-style schedules instead run bounce 1
+            # on UNSORTED scattered rays.  Tile-regrouping-only change
+            # (same tie caveat as sorting).
+            pay, state, active, pix, pdy, wch = stream_bounces(
+                pay, state_px, active, pix0, pdy0, None, 0, 1)
+            pay, state, active, pix, pdy, _ = stream_bounces(
+                pay, state, active, pix, pdy, wch, 1)
+        else:
+            pay, state, active, pix, pdy, _ = stream_bounces(
+                pay, state_px, active, pix0, pdy0, None, 0)
         # restore ATTEN to pixel order first and multiply by the sky
         # afterwards: keeps the trailing multiply-add adjacent so XLA
         # contracts it into the same fma as the monolithic kernel's in-loop

@@ -350,3 +350,24 @@ def test_lean_sort_bit_identical(kw):
     a = render_color_tris_wave(sd.scene, cam_row, t, lean=False, **common)
     b = render_color_tris_wave(sd.scene, cam_row, t, lean=True, **common)
     np.testing.assert_array_equal(bits(a), bits(b))
+
+
+def test_solo_bounce0_bit_identical():
+    """Phase-shifting the spp>1 per-sample schedule (solo_bounce0 — a
+    measured-negative knob kept for A/B, PERF.md r5b) regroups tiles but
+    never changes per-ray math: bit-identical on tie-free scenes."""
+    from rt.kernels.dispatch import pack_camera
+    from rt.kernels.tris_kernel import render_color_tris_wave
+    sd = scenes.scene_suzanne(64, 32)
+    cam_row = pack_camera(sd.camera)
+    t = jnp.uint32(1000).reshape(1, 1)
+    common = dict(height=32, width=64, height_pad=32, width_pad=256,
+                  bounces=4, normalize_defocus_dir=True,
+                  normalize_reflect_in=False, th=8, tw=256, chunk=32,
+                  unroll=4, interpret=True, key_mode="chunk_oct",
+                  sort_every=2, spp=2)
+    bits = lambda x: np.asarray(x).view(np.uint32)
+    a = render_color_tris_wave(sd.scene, cam_row, t, **common)
+    b = render_color_tris_wave(sd.scene, cam_row, t, solo_bounce0=True,
+                               **common)
+    np.testing.assert_array_equal(bits(a), bits(b))

@@ -42,10 +42,11 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def bench_frames(sd, *, frames, bounces, h, w, reps=3, **overrides):
+def bench_frames(sd, *, frames, bounces, h, w, reps=3, spp=1, **overrides):
     from rt.kernels.tris_kernel import render_color_tris_wave
 
-    cfg = dataclasses.replace(sd.config, bounces=bounces, height=h, width=w)
+    cfg = dataclasses.replace(sd.config, bounces=bounces, height=h, width=w,
+                              samples_per_frame=spp)
     kw = wave_params(sd.scene, cfg)
     kw.update(overrides)
     th, tw = kw["th"], kw["tw"]
@@ -147,6 +148,15 @@ def main():
                            ("lean+skip se3", dict(lean=True, sort_every=3,
                                                   skip_last_sort=True)),
                        ]),
+        # config-4 shape (720p spp-mode b5) at spp=16 — per-SAMPLE schedule
+        # behavior is what's probed, the sample count just scales the time
+        "suzspp": dict(sd=scenes.scene_suzanne, bounces=5, h=720, w=1280,
+                       frames=2, spp=16, variants=[
+                           ("baseline", {}),
+                           ("solo0", dict(solo_bounce0=True)),
+                           ("solo0 se4", dict(solo_bounce0=True,
+                                              sort_every=4)),
+                       ]),
         "dragon512": dict(sd=scenes.scene_dragon, bounces=5, h=512, w=512,
                           frames=4, variants=[
                               ("baseline", {}),
@@ -165,7 +175,7 @@ def main():
         if only and name not in only:
             continue
         sd = spec["sd"]()
-        segs = spec["h"] * spec["w"] * spec["bounces"]
+        segs = spec["h"] * spec["w"] * spec["bounces"] * spec.get("spp", 1)
         rows = []
         variants = spec["variants"]
         if args.variant is not None:
@@ -173,7 +183,8 @@ def main():
         for label, kw in variants:
             ms = bench_frames(sd, frames=spec["frames"],
                               bounces=spec["bounces"], h=spec["h"],
-                              w=spec["w"], reps=args.reps, **kw)
+                              w=spec["w"], reps=args.reps,
+                              spp=spec.get("spp", 1), **kw)
             rows.append((label, ms))
             print(f"{name} {label:>16}: {ms:7.2f} ms/f "
                   f"({segs / ms * 1e3:.3e} seg/s)", flush=True)
