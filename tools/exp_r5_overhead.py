@@ -139,6 +139,12 @@ def main():
                            ("lean+skip se4", dict(lean=True, sort_every=4,
                                                   skip_last_sort=True)),
                            ("lean se3", dict(lean=True, sort_every=3)),
+                           ("lean+skip seg2", dict(lean=True,
+                                                   skip_last_sort=True,
+                                                   sort_segments=2)),
+                           ("lean+skip seg4", dict(lean=True,
+                                                   skip_last_sort=True,
+                                                   sort_segments=4)),
                        ]),
         "suz720": dict(sd=scenes.scene_suzanne, bounces=5, h=720, w=1280,
                        frames=max(args.frames // 2, 8), variants=[
@@ -156,6 +162,9 @@ def main():
                            ("solo0", dict(solo_bounce0=True)),
                            ("solo0 se4", dict(solo_bounce0=True,
                                               sort_every=4)),
+                           # 720p streams have 115 tiles (5*23): seg must
+                           # divide the tile count
+                           ("seg5", dict(sort_segments=5)),
                        ]),
         "dragon512": dict(sd=scenes.scene_dragon, bounces=5, h=512, w=512,
                           frames=4, variants=[
